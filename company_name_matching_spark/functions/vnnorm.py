@@ -163,6 +163,18 @@ STOPWORDS_NO_ACCENT: list[str] = [
 # specificity, first match wins (parity target ``matcher.py:15-23``).
 ENTITY_TYPE_TOKENS = ('vpdd', 'cn', 'td', 'htx', 'hd', 'tnhh', 'cp', 'mtv')
 
+# Match-side synonym layer — an ENGINE EXTENSION, not reference parity.
+# The reference's exact-key grouping misses surface families its own variant
+# generator produces (``combinatorial.py:15,27-28``: chi nhánh↔cn↔br,
+# tập đoàn↔tapdoan); it papers over them with global TF-IDF ranking, which a
+# distributed pairwise classifier does not have. Applied AFTER clean_name
+# (input is lowercase, accent-free), producing the blocking/matching string.
+MATCH_ALIASES: list[tuple[str, str]] = [
+    (r'\bchi nhanh\b', 'cn'),
+    (r'\bbr\b', 'cn'),
+    (r'\btapdoan\b', 'td'),
+]
+
 
 # ---------------------------------------------------------------------------
 # Vectorized appliers. Each takes/returns pd.Series[str] (never None inside).
@@ -243,6 +255,15 @@ def matcher_norm_key(s: pd.Series) -> pd.Series:
     (``matcher.py:244-263``). Since clean_name already folds accents this
     equals clean_name, kept as an explicit alias for spec clarity."""
     return clean_name(s, remove_stopwords=True)
+
+
+def match_key(s: pd.Series) -> pd.Series:
+    """Blocking/matching string: ``clean_name`` + match-side synonym layer +
+    re-collapse. Byte-parity functions stay untouched; this is the engine's
+    own canonical form (see MATCH_ALIASES)."""
+    s = clean_name(s, remove_stopwords=True)
+    s = _apply_rules(s, MATCH_ALIASES)
+    return s.str.replace(r'\s+', ' ', regex=True).str.strip()
 
 
 def has_repeated_tokens(s: pd.Series) -> pd.Series:

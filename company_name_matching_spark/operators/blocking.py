@@ -1,0 +1,170 @@
+"""Stage B — candidate blocking: sorted-token prefix keys + MinHash-LSH bands.
+
+The reference compares every query against a global in-memory index
+(``matcher.py:365``), which cannot scale; blocking is the centerpiece that
+replaces it (SURVEY.md J4). Two complementary generators:
+
+* ``p:`` sorted-token prefix — first 2 tokens of ``sort_array(tokens)``.
+  Catches everything the normalization collapses (most combinatorial
+  variants are *equal* after cleaning, so they trivially share this key).
+* ``l:`` MinHash-LSH over char 3-grams — catches residual surface variance
+  (concatenations like "tapdoan", typos). Signatures are computed entirely
+  JVM-side with higher-order functions: grams via ``transform(sequence(...))``,
+  per-gram hashes via ``xxhash64``, each signature row via
+  ``array_min(transform(...))`` under a universal hash
+  ``(a*h + b) mod P`` (P = 2^31-1; operands pre-reduced mod P so ANSI-mode
+  arithmetic cannot overflow). No Python in this stage at all.
+
+Skew handling (explicit, per the north rule — the reference only *warns* on
+skew, ``utils/validation.py:216``):
+
+* blocks larger than ``max_block_size`` are dropped from pairing — generic
+  keys ("viet nam", hot bands) would otherwise create O(n²) pair explosions;
+  recall is preserved by the other channel(s);
+* singleton blocks are dropped (no pairs);
+* the surviving moderate skew is left to AQE's skew-join splitting
+  (enabled in the session factory).
+
+With b bands × r rows the LSH match-probability curve has threshold
+≈ (1/b)^(1/r); defaults b=4, r=3 → ~0.63 trigram-Jaccard.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MERSENNE31 = 2147483647  # 2^31 - 1, prime
+
+
+def _hash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randint(1, _MERSENNE31 - 1), rng.randint(0, _MERSENNE31 - 1))
+        for _ in range(k)
+    ]
+
+
+@dataclass
+class BlockingConfig:
+    minhash_bands: int = 4
+    minhash_rows: int = 3
+    prefix_tokens: int = 2
+    max_block_size: int = 200  # raise to ~1000 at cluster scale
+    seed: int = 42
+    channels: tuple[str, ...] = ("prefix", "lsh")
+    salt_partitions: int = 0  # >0: extra repartition of pair-gen input
+    _params: list[tuple[int, int]] = field(default_factory=list, repr=False)
+
+    def params(self) -> list[tuple[int, int]]:
+        if not self._params:
+            self._params = _hash_params(
+                self.minhash_bands * self.minhash_rows, self.seed
+            )
+        return self._params
+
+
+def trigram_hashes_col(col):
+    """array<bigint> of xxhash64'd char 3-grams of a string column, pre-reduced
+    mod P — all JVM-native (no UDF)."""
+    n_grams = F.greatest(F.length(col) - F.lit(2), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: col.substr(i, F.lit(3))
+    )
+    return F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(_MERSENNE31)))
+
+
+def minhash_signature_col(col, cfg: BlockingConfig):
+    """array<bigint> MinHash signature of length bands*rows (JVM-native)."""
+    hashes = trigram_hashes_col(col)
+    sig = [
+        F.array_min(
+            F.transform(
+                hashes,
+                lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE31)),
+            )
+        )
+        for (a, b) in cfg.params()
+    ]
+    return F.array(*sig)
+
+
+def band_keys_col(col, cfg: BlockingConfig):
+    """array<string> of LSH band block keys."""
+    sig = minhash_signature_col(col, cfg)
+    keys = []
+    for band in range(cfg.minhash_bands):
+        lo = band * cfg.minhash_rows
+        parts = [F.element_at(sig, lo + i + 1) for i in range(cfg.minhash_rows)]
+        keys.append(
+            F.concat_ws(
+                "",
+                F.lit(f"l:{band}:"),
+                F.xxhash64(*parts).cast("string"),
+            )
+        )
+    return F.array(*keys)
+
+
+def prefix_key_col(tokens_col, cfg: BlockingConfig):
+    """'p:' + first N lexicographically-sorted tokens of the cleaned name."""
+    return F.concat(
+        F.lit("p:"),
+        F.concat_ws(" ", F.slice(F.sort_array(tokens_col), 1, cfg.prefix_tokens)),
+    )
+
+
+def generate_blocks(names: DataFrame, cfg: BlockingConfig | None = None) -> DataFrame:
+    """names → blocks(record_id, block_key), one row per (record, key).
+
+    Only records with non-empty ``match_key`` participate. Both channels are
+    computed in the same narrow map stage; ``explode`` fans out the LSH keys.
+    """
+    cfg = cfg or BlockingConfig()
+    key_arrays = []
+    if "prefix" in cfg.channels:
+        key_arrays.append(F.array(prefix_key_col(F.col("tokens"), cfg)))
+    if "lsh" in cfg.channels:
+        key_arrays.append(band_keys_col(F.col("match_key"), cfg))
+    all_keys = F.concat(*key_arrays) if len(key_arrays) > 1 else key_arrays[0]
+    return names.select(
+        "record_id", F.explode(all_keys).alias("block_key")
+    ).dropDuplicates(["record_id", "block_key"])
+
+
+def filter_blocks(blocks: DataFrame, cfg: BlockingConfig) -> DataFrame:
+    """Drop singleton blocks (no pairs) and oversized hot blocks (pair-explosion
+    cap — the explicit skew-splitting response the reference lacks)."""
+    sizes = blocks.groupBy("block_key").agg(F.count(F.lit(1)).alias("_bsz"))
+    keep = sizes.where(
+        (F.col("_bsz") >= 2) & (F.col("_bsz") <= F.lit(cfg.max_block_size))
+    ).select("block_key")
+    # block-key dimension is small relative to records → broadcast-join it
+    return blocks.join(F.broadcast(keep), "block_key")
+
+
+def candidate_pairs(
+    names: DataFrame, cfg: BlockingConfig | None = None
+) -> DataFrame:
+    """Blocked self-join → distinct candidate pairs (left_id < right_id).
+
+    The dedupe across generators happens BEFORE scoring: pairs found by both
+    the prefix and an LSH band are scored once (SURVEY.md §7 step 5).
+    """
+    cfg = cfg or BlockingConfig()
+    blocks = filter_blocks(generate_blocks(names, cfg), cfg)
+    l = blocks.alias("l")
+    r = blocks.alias("r")
+    pairs = (
+        l.join(r, "block_key")
+        .where(F.col("l.record_id") < F.col("r.record_id"))
+        .select(
+            F.col("l.record_id").alias("left_id"),
+            F.col("r.record_id").alias("right_id"),
+        )
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    return pairs

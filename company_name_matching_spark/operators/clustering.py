@@ -1,0 +1,96 @@
+"""Stage C — transitive clustering via alternating large-star / small-star.
+
+Connected components over the match-edge graph (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SOCC'14), expressed purely
+as DataFrame joins/aggregations — no GraphX/RDD. Converges in
+O(log² n) rounds; our clusters are tiny variant groups (diameter ≲ 3), so in
+practice 2–4 rounds.
+
+The reference never materializes the match graph (its transitive-entity
+notion is only exact norm-key grouping, ``matcher.py:242-263``); this stage
+is the scale path that generalizes it to fuzzy edges.
+
+Each round localCheckpoints the edge set: truncates the join lineage (plan
+growth is the classic iterative-Spark failure mode) and gives a cheap
+convergence checksum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to min(N(u) ∪ {u})."""
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+    mins = mins.withColumn("_m", F.least(F.col("_mn"), F.col("src"))).drop("_mn")
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .dropDuplicates()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges high→low; connect each smaller neighbor (and the center)
+    to the minimum neighbor."""
+    o = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    mins = o.groupBy("src").agg(F.min("dst").alias("_m"))
+    j = o.join(mins, "src")
+    neigh = j.select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+    center = j.select("src", F.col("_m").alias("dst")).dropDuplicates()
+    return neigh.union(center).where(F.col("src") != F.col("dst")).dropDuplicates()
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 15
+) -> tuple[DataFrame, int]:
+    """edges(src, dst) → labels(record_id, cluster_id), plus rounds used.
+
+    cluster_id is the minimum record_id in the component (deterministic).
+    Nodes absent from ``edges`` are the caller's concern (singletons keep
+    their own id — see :func:`attach_singletons`).
+    """
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).dropDuplicates()
+    e = e.localCheckpoint(eager=True)
+    prev_sig = None
+    rounds = 0
+    for rounds in range(1, max_iterations + 1):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # bit_xor checksum: order-insensitive and overflow-free under ANSI mode
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).collect()[0]
+        cur_sig = (sig["n"], sig["h"])
+        if cur_sig == prev_sig:
+            break
+        prev_sig = cur_sig
+    # converged state: star edges node→min; labels = edges + centers
+    labels = e.select(F.col("src").alias("record_id"), F.col("dst").alias("cluster_id"))
+    centers = e.select(F.col("dst").alias("record_id"), F.col("dst").alias("cluster_id"))
+    return labels.union(centers).dropDuplicates(["record_id"]), rounds
+
+
+def attach_singletons(labels: DataFrame, names: DataFrame) -> DataFrame:
+    """All records not in any matched pair become their own cluster."""
+    all_ids = names.select("record_id").dropDuplicates()
+    missing = all_ids.join(labels, "record_id", "left_anti").select(
+        "record_id", F.col("record_id").alias("cluster_id")
+    )
+    return labels.union(missing)
+
+
+def cluster_matches(matches: DataFrame, names: DataFrame,
+                    max_iterations: int = 15) -> tuple[DataFrame, int]:
+    """Scored pairs (is_match=true) → clusters(record_id, cluster_id)."""
+    edges = matches.where(F.col("is_match")).select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+    )
+    labels, rounds = connected_components(edges, max_iterations)
+    return attach_singletons(labels, names), rounds

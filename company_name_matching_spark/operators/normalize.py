@@ -1,0 +1,129 @@
+"""Stage N — pages → normalized name mentions.
+
+Input: the Common-Crawl-shaped ``pages`` table
+(``url, warc_ts, html, text, lang`` per BASELINE.json input_hint).
+Output: ``names(record_id, url, name, cleaned, norm_key, tokens,
+entity_type, has_repeat)``.
+
+Design notes (Spark-first):
+
+* One Arrow pandas UDF produces the two derived strings in a single pass
+  (shape of the reference's ``preprocess_batch_udf``,
+  ``vietnamese_udfs.py:55-108``, but fully vectorized — no row loop).
+* Everything downstream of the strings is JVM-native: tokenization
+  (``split``), entity-type extraction (ordered ``array_contains`` coalesce,
+  parity with ``matcher.py:15-23``), repeated-token detection (``rlike`` with
+  backreferences, parity with ``matcher.py:26-38``), validation filters
+  (parity with ``utils/validation.py:40-84``).
+* ``record_id = xxhash64(url)`` — deterministic across runs, unlike the
+  reference's ``monotonically_increasing_id`` (``stage2_deduplicate.py:87``).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from company_name_matching_spark.functions import vnnorm
+
+_NORM_SCHEMA = StructType(
+    [
+        StructField("cleaned", StringType(), False),
+        StructField("norm_key", StringType(), False),
+        StructField("match_key", StringType(), False),
+    ]
+)
+
+
+@F.pandas_udf(_NORM_SCHEMA)
+def _normalize_udf(text: pd.Series) -> pd.DataFrame:
+    cleaned = vnnorm.clean_name(text)
+    return pd.DataFrame(
+        {
+            "cleaned": cleaned,
+            "norm_key": vnnorm.norm_key(text),
+            # match_key re-applies only the alias layer on the cleaned string
+            "match_key": vnnorm._apply_rules(cleaned, vnnorm.MATCH_ALIASES)
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip(),
+        }
+    )
+
+
+# Whole-token regexes (Java regex supports backreferences + lookarounds).
+_REPEAT_UNIGRAM = r"(?<!\S)(\S{2,})\s+\1(?!\S)"
+_REPEAT_BIGRAM = r"(?<!\S)(\S+)\s+(\S+)\s+\1\s+\2(?!\S)"
+
+
+def entity_type_col(tokens_col):
+    """First entity-type token present, in specificity order (JVM-native)."""
+    expr = F.lit(None).cast("string")
+    # build coalesce(when(contains tok1), when(contains tok2), ...) in order
+    whens = [
+        F.when(F.array_contains(tokens_col, et), F.lit(et))
+        for et in vnnorm.ENTITY_TYPE_TOKENS
+    ]
+    return F.coalesce(*whens, expr)
+
+
+def validate_mentions(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Null/empty, length-range, and special-chars-only filters
+    (parity: ``utils/validation.py:40-84``). All pushdown-friendly natives."""
+    c = F.col(text_col)
+    return df.where(
+        c.isNotNull()
+        & (F.trim(c) != "")
+        & F.length(c).between(3, 200)
+        & ~c.rlike(r"^[^a-zA-Z0-9À-ɏḀ-ỿ]+$")
+    )
+
+
+def normalize_pages(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """pages → names with all scoring-side-features. One shuffle-free map."""
+    df = validate_mentions(pages, text_col)
+    df = df.withColumn("_norm", _normalize_udf(F.col(text_col)))
+    df = (
+        df.select(
+            F.xxhash64("url").alias("record_id"),
+            "url",
+            F.col(text_col).alias("name"),
+            F.col("_norm.cleaned").alias("cleaned"),
+            F.col("_norm.norm_key").alias("norm_key"),
+            F.col("_norm.match_key").alias("match_key"),
+        )
+        .where(F.col("match_key") != "")
+        .withColumn("tokens", F.split("match_key", " "))
+        .withColumn("entity_type", entity_type_col(F.col("tokens")))
+        .withColumn(
+            "has_repeat",
+            F.col("cleaned").rlike(_REPEAT_UNIGRAM)
+            | F.col("cleaned").rlike(_REPEAT_BIGRAM),
+        )
+    )
+    return df
+
+
+def dedup_exact(names: DataFrame, keep: str = "longest") -> DataFrame:
+    """Exact dedup by ``norm_key`` with the reference's window semantics
+    (``stage2_deduplicate.py:79-99``) but a deterministic tiebreaker
+    (``xxhash64(name)`` instead of ``monotonically_increasing_id``).
+
+    Returns one canonical row per norm_key plus group metadata.
+    """
+    from pyspark.sql.window import Window
+
+    if keep == "longest":
+        order = [F.length("name").desc(), F.xxhash64("name").asc()]
+    else:  # "first" → deterministic stand-in: smallest record hash
+        order = [F.xxhash64("name").asc()]
+    w = Window.partitionBy("norm_key").orderBy(*order)
+    grp = Window.partitionBy("norm_key")
+    return (
+        names.withColumn("_rn", F.row_number().over(w))
+        .withColumn("duplicate_group_size", F.count(F.lit(1)).over(grp))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("is_duplicate", F.col("duplicate_group_size") > 1)
+    )

@@ -1,0 +1,218 @@
+"""Stage P — pairwise scoring of blocked candidate pairs.
+
+Scoring never leaves the executors (the reference collects both corpus and
+queries to the driver, ``stage3_build_index.py:84-91`` /
+``stage4_match.py:87-106`` — the anti-pattern this engine replaces).
+
+Feature split between JVM and Arrow:
+
+* JVM-native: token-set Jaccard (``array_intersect``/``array_union``),
+  Levenshtein similarity (``F.levenshtein``), exact-key equality, entity-type
+  mismatch, repeated-token flags.
+* Arrow pandas UDF: char-trigram TF-IDF cosine (sparse dot of per-record
+  precomputed L2-normalized vectors — computed once per record, not per
+  pair) and Jaro-Winkler. One UDF call per pair batch, columnar.
+
+IDF is a corpus-level Spark aggregation (``SURVEY.md`` A10): char-trigram
+vocabulary is intrinsically bounded (charset³), so the gram→(id, idf) dict is
+safely collected and broadcast regardless of corpus row count.
+
+Match semantics preserved from the reference where they affect F1:
+
+* exact ``cleaned`` equality ⇒ match — the reference's norm-key grouping
+  (``matcher.py:242-263``);
+* repeated-token penalty ×0.85 (``matcher.py:627-638``);
+* entity-type discrimination: both sides typed and different ⇒ non-match
+  (pair-classification form of ``matcher.py:640-657``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+from company_name_matching_spark.functions import similarity
+
+
+@dataclass
+class ScoringConfig:
+    w_cosine: float = 0.40
+    w_jaccard: float = 0.25
+    w_jw: float = 0.25
+    w_lev: float = 0.10
+    threshold: float = 0.90
+    repeat_penalty: float = 0.85  # matcher.py:632
+    ngram: int = 3
+
+
+def trigram_strings_col(col):
+    """array<string> char 3-grams, JVM-native (same gram definition as
+    ``similarity.char_ngrams``)."""
+    n_grams = F.greatest(F.length(col) - F.lit(2), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: col.substr(i, F.lit(3))
+    )
+
+
+def build_idf(names: DataFrame, string_col: str = "match_key") -> dict:
+    """Distributed document-frequency over char trigrams → {gram: (id, idf)}.
+
+    ``explode(array_distinct(...)) → groupBy(gram).count()`` is a bounded-
+    cardinality aggregation (map-side partial agg + one small shuffle).
+    """
+    n_docs = names.count()
+    df_rows = (
+        names.select(
+            F.explode(F.array_distinct(trigram_strings_col(F.col(string_col)))).alias(
+                "gram"
+            )
+        )
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    )
+    return {
+        row["gram"]: (gid, similarity.smooth_idf(row["df"], n_docs))
+        for gid, row in enumerate(sorted(df_rows, key=lambda r: r["gram"]))
+    }
+
+
+_VEC_SCHEMA = StructType(
+    [
+        StructField("tg_idx", ArrayType(IntegerType()), False),
+        StructField("tg_val", ArrayType(DoubleType()), False),
+    ]
+)
+
+
+def featurize(names: DataFrame, idf: dict, cfg: ScoringConfig | None = None) -> DataFrame:
+    """Attach per-record sparse TF-IDF vectors (one Arrow pass per record)."""
+    cfg = cfg or ScoringConfig()
+    spark = SparkSession.getActiveSession()
+    idf_bc = spark.sparkContext.broadcast(idf)
+    n = cfg.ngram
+
+    @F.pandas_udf(_VEC_SCHEMA)
+    def _vec_udf(match_key: pd.Series) -> pd.DataFrame:
+        table = idf_bc.value
+        idx, val = [], []
+        for s in match_key:
+            i, v = similarity.tfidf_vector(s or "", table, n)
+            idx.append(i)
+            val.append(v)
+        return pd.DataFrame({"tg_idx": idx, "tg_val": val})
+
+    return names.withColumn("_vec", _vec_udf("match_key")).select(
+        "*", F.col("_vec.tg_idx").alias("tg_idx"), F.col("_vec.tg_val").alias("tg_val")
+    ).drop("_vec")
+
+
+_PAIR_UDF_SCHEMA = StructType(
+    [
+        StructField("cos_sim", DoubleType(), False),
+        StructField("jw_sim", DoubleType(), False),
+    ]
+)
+
+
+@F.pandas_udf(_PAIR_UDF_SCHEMA)
+def _pair_sims_udf(
+    l_cleaned: pd.Series,
+    r_cleaned: pd.Series,
+    l_idx: pd.Series,
+    l_val: pd.Series,
+    r_idx: pd.Series,
+    r_val: pd.Series,
+) -> pd.DataFrame:
+    cos = np.empty(len(l_cleaned), dtype=np.float64)
+    for k in range(len(l_cleaned)):
+        cos[k] = similarity.sparse_cosine(
+            np.asarray(l_idx.iloc[k], dtype=np.int64),
+            np.asarray(l_val.iloc[k], dtype=np.float64),
+            np.asarray(r_idx.iloc[k], dtype=np.int64),
+            np.asarray(r_val.iloc[k], dtype=np.float64),
+        )
+    jw = similarity.jaro_winkler_batch(l_cleaned.tolist(), r_cleaned.tolist())
+    return pd.DataFrame({"cos_sim": cos, "jw_sim": jw})
+
+
+_SIDE_COLS = ("record_id", "match_key", "norm_key", "tokens", "entity_type",
+              "has_repeat", "tg_idx", "tg_val")
+
+
+def score_pairs(
+    featurized: DataFrame, pairs: DataFrame, cfg: ScoringConfig | None = None
+) -> DataFrame:
+    """pairs(left_id, right_id) × features → scored pairs with ``is_match``.
+
+    Feature columns ride along on the two equi-joins (sort-merge or
+    broadcast under AQE); the Arrow UDF runs once over the joined batch.
+    """
+    cfg = cfg or ScoringConfig()
+    feats = featurized.select(*_SIDE_COLS)
+    l = feats.select([F.col(c).alias(f"l_{c}") for c in _SIDE_COLS])
+    r = feats.select([F.col(c).alias(f"r_{c}") for c in _SIDE_COLS])
+    df = (
+        pairs.join(l, pairs.left_id == l.l_record_id)
+        .join(r, pairs.right_id == r.r_record_id)
+        .drop("l_record_id", "r_record_id")
+    )
+
+    inter = F.size(F.array_intersect("l_tokens", "r_tokens"))
+    union = F.size(F.array_union("l_tokens", "r_tokens"))
+    df = df.withColumn(
+        "jaccard",
+        F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(0.0),
+    )
+    max_len = F.greatest(F.length("l_match_key"), F.length("r_match_key"))
+    df = df.withColumn(
+        "lev_sim",
+        F.when(
+            max_len > 0,
+            1.0 - F.levenshtein("l_match_key", "r_match_key").cast("double") / max_len,
+        ).otherwise(0.0),
+    )
+    df = df.withColumn("_sims", _pair_sims_udf(
+        "l_match_key", "r_match_key", "l_tg_idx", "l_tg_val", "r_tg_idx", "r_tg_val"
+    )).select("*", F.col("_sims.cos_sim").alias("cos_sim"),
+              F.col("_sims.jw_sim").alias("jw_sim")).drop("_sims")
+
+    fused = (
+        F.lit(cfg.w_cosine) * F.col("cos_sim")
+        + F.lit(cfg.w_jaccard) * F.col("jaccard")
+        + F.lit(cfg.w_jw) * F.col("jw_sim")
+        + F.lit(cfg.w_lev) * F.col("lev_sim")
+    )
+    fused = F.when(
+        F.col("l_has_repeat") | F.col("r_has_repeat"),
+        fused * F.lit(cfg.repeat_penalty),
+    ).otherwise(fused)
+
+    exact = F.col("l_match_key") == F.col("r_match_key")
+    entity_conflict = (
+        F.col("l_entity_type").isNotNull()
+        & F.col("r_entity_type").isNotNull()
+        & (F.col("l_entity_type") != F.col("r_entity_type"))
+    )
+    df = df.withColumn("score", F.when(exact, F.lit(1.0)).otherwise(fused))
+    df = df.withColumn(
+        "is_match",
+        F.when(exact, F.lit(True))
+        .when(entity_conflict, F.lit(False))
+        .otherwise(F.col("score") >= F.lit(cfg.threshold)),
+    )
+    return df.select(
+        "left_id", "right_id", "jaccard", "lev_sim", "cos_sim", "jw_sim",
+        "score", "is_match",
+    )
