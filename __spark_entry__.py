@@ -1,38 +1,433 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full record-linkage pipeline (normalize → block
+→ score → cluster) over part names at sf0.001.
+
+``queries()`` — one entry per implemented operator family from SURVEY.md §2
+plus the training-data-pipeline operators (dedup / ANN / text analysis /
+multimodal). Each callable takes (spark, sf_dir) → DataFrame.
+
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for every SQL-expressible
+query. Numeric outputs are stabilized for cross-engine hashing: money sums
+go through exact DECIMAL accumulation then cast to double; similarity scores
+are rounded. Non-SQL-expressible ops (MinHash/SimHash banding, LSH ANN,
+full ER clustering) intentionally omit oracles → driver records rows-only.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+_PYFILES_SHIPPED = False
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the engine importable on executor Python workers regardless of
+    the driver's cwd: zip the package and addPyFile it (same mechanism as
+    spark-submit --py-files)."""
+    global _PYFILES_SHIPPED
+    if _PYFILES_SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    root = Path(__file__).resolve().parent
+    pkg = root / "company_name_matching_spark"
+    zpath = Path(tempfile.gettempdir()) / "company_name_matching_spark_pyfiles.zip"
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for p in sorted(pkg.rglob("*.py")):
+            z.write(p, p.relative_to(root))
+    spark.sparkContext.addPyFile(str(zpath))
+    _PYFILES_SHIPPED = True
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ship_package(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec_sum(col, scale: int = 2):
+    """Exact decimal accumulation → double: deterministic across engines
+    (double sums are order-dependent; decimal sums are not)."""
+    return F.sum(F.col(col).cast(f"decimal(30,{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Relational operator coverage (SURVEY.md §2.2/2.5/2.6/2.7/2.8)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity").alias("sum_qty"),
+            _dec_sum("l_extendedprice").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_top_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev.cast("decimal(30,6)")).cast("double").alias("revenue"))
+        .withColumn("revenue", F.round("revenue", 2))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_region_revenue(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .join(c, n.n_nationkey == c.c_nationkey)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(rev.cast("decimal(30,6)")).cast("double").alias("revenue"))
+        .withColumn("revenue", F.round("revenue", 2))
+        .orderBy("r_name", "n_name")
+    )
+
+
+def top_customer_per_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(_dec_sum("o_totalprice").alias("total_spend"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("total_spend").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        spend.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(n, F.col("c_nationkey") == n.n_nationkey)
+        .select("n_name", "c_name", F.round("total_spend", 2).alias("total_spend"))
+        .orderBy("n_name")
+    )
+
+
+def priority_rates(spark, sf_dir):
+    """Fused conditional-rate aggregation (SURVEY.md A6 — one agg, not three
+    filter+count jobs like the reference)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("o_totalprice") >= 200000, 1).otherwise(0)).alias("n_big"),
+        F.sum(
+            F.when(
+                (F.col("o_totalprice") >= 100000) & (F.col("o_totalprice") < 200000), 1
+            ).otherwise(0)
+        ).alias("n_mid"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_filled"),
+    ).orderBy("o_orderpriority")
+
+
+def customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def events_hourly(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(30,6)")).cast("double"), 4).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def events_sessionize(spark, sf_dir):
+    """Session counting via lag window: gap > 30 min starts a new session."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        e.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def events_latest_per_user_type(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", F.round("value", 6).alias("value"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Normalization operators (SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+def norm_fold_accents(spark, sf_dir):
+    """Diacritic folding via Spark-native translate (SURVEY.md F4)."""
+    from company_name_matching_spark.functions.vnnorm import ACCENT_DST, ACCENT_SRC
+
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.translate(F.lower("c_name"), ACCENT_SRC, ACCENT_DST).alias("folded"),
+    ).orderBy("c_custkey")
+
+
+def norm_clean_names(spark, sf_dir):
+    """Full Vietnamese cleaning pipeline (vectorized pandas UDF, SURVEY.md F5)
+    applied to part names — ASCII inputs, so the DuckDB regex oracle is exact."""
+    from company_name_matching_spark.operators.normalize import clean_name_udf
+
+    p = _t(spark, sf_dir, "part")
+    return p.select("p_partkey", clean_name_udf("p_name").alias("cleaned")).orderBy(
+        "p_partkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data ops)
+# ---------------------------------------------------------------------------
+
+def text_stats(spark, sf_dir):
+    from company_name_matching_spark.functions import textstats as ts
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        ts.token_count(t).alias("n_tokens"),
+        ts.distinct_token_count(t).alias("n_distinct"),
+        F.round(ts.stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(ts.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(ts.mean_token_len(t), 6).alias("mean_token_len"),
+    ).orderBy("doc_id")
+
+
+def text_quality_langid(spark, sf_dir):
+    from company_name_matching_spark.functions import textstats as ts
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        ts.quality_score(t).alias("quality"),
+        ts.langid(t).alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+def docs_fingerprint_groups(spark, sf_dir):
+    from company_name_matching_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_groups(d).orderBy("fingerprint")
+
+
+def docs_keep_longest(spark, sf_dir):
+    from company_name_matching_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.dedup_keep_longest(d).select(
+        "doc_id", "fingerprint", "n_chars"
+    ).orderBy("doc_id")
+
+
+def docs_jaccard_neardup(spark, sf_dir):
+    from company_name_matching_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(d, block_col="lang", threshold=0.6).orderBy(
+        "left_id", "right_id"
+    )
+
+
+def docs_minhash_neardup(spark, sf_dir):
+    from company_name_matching_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_pairs(d, threshold=0.6).orderBy("left_id", "right_id")
+
+
+def docs_simhash_neardup(spark, sf_dir):
+    from company_name_matching_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, max_hamming=3).orderBy("left_id", "right_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def emb_neardup(spark, sf_dir):
+    from company_name_matching_spark.operators import dedup
+
+    v = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(v, block_col="label", threshold=0.9).orderBy(
+        "left_id", "right_id"
+    )
+
+
+def ann_topk(spark, sf_dir):
+    from company_name_matching_spark.operators import ann
+
+    v = _t(spark, sf_dir, "embeddings")
+    q = v.where(F.col("vec_id") < 10)
+    return ann.brute_force_topk(q, v, k=5).orderBy("query_id", "rank")
+
+
+def ann_lsh_topk(spark, sf_dir):
+    from company_name_matching_spark.operators import ann
+
+    v = _t(spark, sf_dir, "embeddings")
+    q = v.where(F.col("vec_id") < 10)
+    return ann.lsh_topk(q, v, k=5).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def multimodal_meta(spark, sf_dir):
+    from company_name_matching_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.attach_binary(d).select(
+        "content_id", "format", "n_bytes", "checksum"
+    ).orderBy("content_id")
+
+
+def multimodal_features(spark, sf_dir):
+    from company_name_matching_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents")
+    feats = multimodal.extract_features(multimodal.attach_binary(d))
+    return feats.select(
+        "content_id",
+        "n_bytes",
+        "feature_dim",
+        F.round(F.element_at("features", 4), 6).alias("mean_tok_len"),
+    ).orderBy("content_id")
+
+
+# ---------------------------------------------------------------------------
+# Record linkage end-to-end (flagship)
+# ---------------------------------------------------------------------------
+
+def er_cluster_parts(spark, sf_dir):
+    """Full blocking + pairwise-scoring + connected-components pipeline over
+    part names (near-dup heavy TPC-H-style strings). Not SQL-expressible
+    (fuzzy scoring + iterative CC) → rows-only driver check; the pairwise-F1
+    acceptance lives in pytest over the labeled Vietnamese fixtures."""
+    from company_name_matching_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    p = _t(spark, sf_dir, "part")
+    pages_like = p.select(
+        F.concat(F.lit("part://"), F.col("p_partkey").cast("string")).alias("url"),
+        F.col("p_name").alias("text"),
+    )
+    res = run_pipeline(spark, pages_like, cfg=PipelineConfig())
+    sizes = res.clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        res.clusters.join(res.names.select("record_id", "url"), "record_id")
+        .join(sizes, "cluster_id")
+        .select(
+            F.regexp_replace("url", "part://", "").cast("long").alias("p_partkey"),
+            "cluster_id",
+            F.col("sz").alias("cluster_size"),
+        )
+        .orderBy("p_partkey")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return er_cluster_parts(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q5_region_revenue": q5_region_revenue,
+        "top_customer_per_nation": top_customer_per_nation,
+        "priority_rates": priority_rates,
+        "customers_without_orders": customers_without_orders,
+        "events_hourly": events_hourly,
+        "events_sessionize": events_sessionize,
+        "events_latest_per_user_type": events_latest_per_user_type,
+        "norm_fold_accents": norm_fold_accents,
+        "norm_clean_names": norm_clean_names,
+        "text_stats": text_stats,
+        "text_quality_langid": text_quality_langid,
+        "docs_fingerprint_groups": docs_fingerprint_groups,
+        "docs_keep_longest": docs_keep_longest,
+        "docs_jaccard_neardup": docs_jaccard_neardup,
+        "docs_minhash_neardup": docs_minhash_neardup,
+        "docs_simhash_neardup": docs_simhash_neardup,
+        "emb_neardup": emb_neardup,
+        "ann_topk": ann_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "multimodal_meta": multimodal_meta,
+        "multimodal_features": multimodal_features,
+        "er_cluster_parts": er_cluster_parts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from company_name_matching_spark.sources import oracles
+
+    return oracles.build_oracles()

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Benchmark entry point (driver contract).
+
+Headline workload: the full record-linkage pipeline (normalize → block →
+score → cluster) over a deterministically synthesized Common-Crawl-shaped
+``pages`` corpus sized to the scale factor, reporting
+candidate-pairs-scored/sec — the BASELINE.md throughput metric. Plus wall
+times for representative entry queries at ``$SPARK_GRAFT_SF_DIR``.
+
+Prints ONE JSON line:
+  {"metric": "er_pipeline_sec", "value": <sec>, "unit": "sec",
+   "queries": {...}, "sf": <sf>, "pairs_scored": N, "pairs_per_sec": N,
+   "pages": N, "cpus": N, "scaling": {...when scripts/bench_scaling.py ran}}
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# queries worth timing at the bench scale (mix of agg/join/window/UDF/pair ops)
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "top_customer_per_nation",
+    "events_sessionize",
+    "norm_clean_names",
+    "text_stats",
+    "docs_fingerprint_groups",
+    "docs_jaccard_neardup",
+    "docs_minhash_neardup",
+    "emb_neardup",
+    "ann_topk",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = Path(sf_dir).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _materialize(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from company_name_matching_spark.plans.pipeline import run_pipeline
+    from company_name_matching_spark.session import get_spark
+    from company_name_matching_spark.sources import fixtures
+
+    sf = _sf_of(SF_DIR)
+    spark = get_spark(app_name="bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # --- headline: ER pipeline over synthesized pages scaled to sf ---
+    n_companies = 800
+    per_company = 6
+    base_rows = None  # computed from generator determinism below
+    target_pages = max(400, int(400_000 * sf))
+    # one fixture unit ≈ n_companies * (1 + per_company) rows
+    unit = n_companies * (1 + per_company)
+    upsample = max(1, math.ceil(target_pages / unit))
+    pages = fixtures.pages_dataframe(
+        spark, n_companies=n_companies, per_company=per_company,
+        upsample=upsample, partitions=2 * CPUS,
+    ).cache()
+    n_pages = pages.count()
+
+    t0 = time.monotonic()
+    res = run_pipeline(spark, pages)
+    pairs_scored = res.matches.count()
+    n_clusters = res.clusters.select("cluster_id").distinct().count()
+    er_sec = time.monotonic() - t0
+
+    # --- per-query timings at the sf dir ---
+    queries = entrymod.queries()
+    qtimes: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        _materialize(queries[name](spark, SF_DIR))
+        qtimes[name] = round(time.monotonic() - t0, 3)
+
+    out = {
+        "metric": "er_pipeline_sec",
+        "value": round(er_sec, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "pages": n_pages,
+        "pairs_scored": pairs_scored,
+        "pairs_per_sec": round(pairs_scored / er_sec, 1) if er_sec > 0 else None,
+        "clusters": n_clusters,
+        "cpus": CPUS,
+    }
+    scaling_file = Path(__file__).parent / "bench_scaling.json"
+    if scaling_file.exists():
+        try:
+            out["scaling"] = json.loads(scaling_file.read_text())
+        except Exception:
+            pass
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

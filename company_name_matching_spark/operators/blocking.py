@@ -92,9 +92,13 @@ def minhash_signature_col(col, cfg: BlockingConfig):
     return F.array(*sig)
 
 
-def band_keys_col(col, cfg: BlockingConfig):
-    """array<string> of LSH band block keys."""
-    sig = minhash_signature_col(col, cfg)
+def band_keys_from_sig(sig, cfg: BlockingConfig):
+    """array<string> of LSH band keys from an already-computed signature
+    column. Deriving bands from a *materialized* signature matters for long
+    strings: the signature expression tree is large, and when codegen falls
+    back to interpreted mode there is no common-subexpression elimination —
+    referencing it once per band would recompute the whole shingle scan
+    bands× (observed 600+ s on 500 long documents before this split)."""
     keys = []
     for band in range(cfg.minhash_bands):
         lo = band * cfg.minhash_rows
@@ -107,6 +111,13 @@ def band_keys_col(col, cfg: BlockingConfig):
             )
         )
     return F.array(*keys)
+
+
+def band_keys_col(col, cfg: BlockingConfig):
+    """array<string> of LSH band block keys (single-expression form — fine
+    for short strings like match keys; for long documents stage the
+    signature first and use band_keys_from_sig)."""
+    return band_keys_from_sig(minhash_signature_col(col, cfg), cfg)
 
 
 def prefix_key_col(tokens_col, cfg: BlockingConfig):

@@ -1,0 +1,245 @@
+"""Deduplication operators for web-scale corpora.
+
+Five channels, each a distinct scale/recall trade-off:
+
+* exact             — md5 fingerprint hash-groupBy (one shuffle);
+* keep-longest      — window dedup within fingerprint groups;
+* token-set Jaccard — blocked pairwise, JVM-native set ops;
+* MinHash-LSH       — banded signatures → bucket join (sub-quadratic);
+* SimHash           — 64-bit sign-hash, hamming-distance buckets;
+* embedding cosine  — near-dup by dense-vector similarity.
+
+All pairwise channels block first — never an unblocked cross join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+from pyspark.sql.window import Window
+
+from company_name_matching_spark.functions import textstats
+from company_name_matching_spark.operators import blocking
+
+
+def exact_groups(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by canonical fingerprint."""
+    return (
+        docs.withColumn("fingerprint", textstats.fingerprint(F.col(text_col)))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def dedup_keep_longest(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """One row per fingerprint: longest text wins, id as deterministic
+    tiebreaker (reference W1 semantics, deterministic ids)."""
+    d = docs.withColumn("fingerprint", textstats.fingerprint(F.col(text_col)))
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.length(text_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Blocked pairwise token-set Jaccard ≥ threshold.
+
+    ``block_col`` keys the self-join (e.g. ``lang``); None means one global
+    block — only sane for small corpora, use minhash_pairs at scale.
+    """
+    toks = F.array_distinct(textstats.tokens_col(F.lower(F.col(text_col))))
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        toks.alias("toks"),
+        (F.col(block_col) if block_col else F.lit("all")).alias("bk"),
+    )
+    l = d.select(F.col("id").alias("left_id"), F.col("toks").alias("l_toks"), "bk")
+    r = d.select(F.col("id").alias("right_id"), F.col("toks").alias("r_toks"), "bk")
+    inter = F.size(F.array_intersect("l_toks", "r_toks"))
+    union = F.size(F.array_union("l_toks", "r_toks"))
+    return (
+        l.join(r, "bk")
+        .where(F.col("left_id") < F.col("right_id"))
+        .withColumn(
+            "jaccard",
+            F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(0.0),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: blocking.BlockingConfig | None = None,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates, verified by true shingle Jaccard.
+
+    Reuses the JVM-native signature machinery from the blocking stage over
+    the canonicalized document text; candidate pairs from band buckets are
+    re-checked with exact char-trigram-set Jaccard.
+    """
+    cfg = cfg or blocking.BlockingConfig(minhash_bands=8, minhash_rows=4)
+    canon = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    d = docs.select(F.col(id_col).alias("id"), canon.alias("ctext"))
+    # Stage 1: one signature scan per document, materialized (documents can
+    # be long — recomputing the shingle scan per band is catastrophic).
+    # Small parquet inputs arrive as 1 split; spread the CPU-bound signature
+    # computation across the cluster first.
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+    sigs = d.select(
+        "id", blocking.minhash_signature_col(F.col("ctext"), cfg).alias("sig")
+    ).localCheckpoint(eager=True)
+    bands = sigs.select(
+        F.col("id").alias("record_id"),
+        F.explode(blocking.band_keys_from_sig(F.col("sig"), cfg)).alias("block_key"),
+    )
+    bands = blocking.filter_blocks(bands, cfg)
+    cand = (
+        bands.alias("l")
+        .join(bands.alias("r"), "block_key")
+        .where(F.col("l.record_id") < F.col("r.record_id"))
+        .select(
+            F.col("l.record_id").alias("left_id"),
+            F.col("r.record_id").alias("right_id"),
+        )
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    # verify candidates with exact trigram-set Jaccard (JVM-native)
+    from company_name_matching_spark.operators.scoring import trigram_strings_col
+
+    tg = d.select(
+        "id", F.array_distinct(trigram_strings_col(F.col("ctext"))).alias("tg")
+    )
+    cand = (
+        cand.join(tg.withColumnRenamed("id", "left_id").withColumnRenamed("tg", "l_tg"), "left_id")
+        .join(tg.withColumnRenamed("id", "right_id").withColumnRenamed("tg", "r_tg"), "right_id")
+    )
+    inter = F.size(F.array_intersect("l_tg", "r_tg"))
+    union = F.size(F.array_union("l_tg", "r_tg"))
+    return (
+        cand.withColumn(
+            "jaccard",
+            F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(0.0),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+@F.pandas_udf(LongType())
+def _simhash_udf(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (md5-derived token hashes —
+    deterministic across runs/engines). Arrow-batched."""
+    out = np.zeros(len(text), dtype=np.int64)
+    for i, t in enumerate(text):
+        if not t:
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in str(t).lower().split():
+            digest8 = hashlib.md5(tok.encode("utf-8")).digest()[:8]
+            bits = np.unpackbits(np.frombuffer(digest8, dtype=np.uint8))
+            acc += np.where(bits == 1, 1, -1)
+        sig = int.from_bytes(np.packbits(acc > 0).tobytes(), "big")
+        out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
+    return pd.Series(out)
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: band the 64-bit signature into n_bands 16-bit chunks
+    (any pair within hamming ≤ n_bands-1 shares ≥1 exact chunk), bucket-join,
+    verify true hamming distance with bit_count(xor)."""
+    d = docs.select(F.col(id_col).alias("id"), _simhash_udf(F.col(text_col)).alias("sh"))
+    chunk_bits = 64 // n_bands
+    chunks = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(i),
+                F.shiftright("sh", i * chunk_bits).bitwiseAND(
+                    F.lit((1 << chunk_bits) - 1)
+                ).cast("string"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    b = d.select("id", "sh", F.explode(chunks).alias("bk"))
+    pairs = (
+        b.alias("l")
+        .join(b.alias("r"), "bk")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("left_id"),
+            F.col("r.id").alias("right_id"),
+            F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming"),
+        )
+        .dropDuplicates(["left_id", "right_id"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def cosine_col(a, b):
+    """JVM-native cosine of two array<float/double> columns (double math)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(0.0)
+
+
+def embedding_neardup_pairs(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates. ``block_col`` (e.g. an LSH bucket or
+    coarse label) keys the self-join; None = quadratic, small inputs only."""
+    d = vecs.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        (F.col(block_col) if block_col else F.lit(0)).alias("bk"),
+    )
+    l = d.select(F.col("id").alias("left_id"), F.col("v").alias("l_v"), "bk")
+    r = d.select(F.col("id").alias("right_id"), F.col("v").alias("r_v"), "bk")
+    return (
+        l.join(r, "bk")
+        .where(F.col("left_id") < F.col("right_id"))
+        .withColumn("cosine", F.round(cosine_col(F.col("l_v"), F.col("r_v")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("left_id", "right_id", "cosine")
+    )

@@ -52,6 +52,12 @@ def _normalize_udf(text: pd.Series) -> pd.DataFrame:
     )
 
 
+@F.pandas_udf(StringType())
+def clean_name_udf(s: pd.Series) -> pd.Series:
+    """Standalone vectorized clean_company_name UDF (SURVEY.md F5/U1)."""
+    return vnnorm.clean_name(s)
+
+
 # Whole-token regexes (Java regex supports backreferences + lookarounds).
 _REPEAT_UNIGRAM = r"(?<!\S)(\S{2,})\s+\1(?!\S)"
 _REPEAT_BIGRAM = r"(?<!\S)(\S+)\s+(\S+)\s+\1\s+\2(?!\S)"

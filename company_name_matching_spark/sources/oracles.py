@@ -1,0 +1,254 @@
+"""DuckDB oracle SQL for the driver's correctness gate.
+
+Every SQL-expressible query in ``__spark_entry__.queries()`` gets an ANSI-SQL
+twin here. Numeric stabilization mirrors the Spark side exactly: DECIMAL
+accumulation for sums (order-independent), explicit rounding for ratios.
+
+The Vietnamese normalization chain is *generated* from the same rule tables
+the engine executes (``functions/vnnorm``), so the oracle can never drift
+from the implementation. One reference rule (the ``br`` branch-prefix rule)
+uses a lookahead RE2 does not support; it is omitted here and pytest asserts
+it is a no-op on the oracle's input data (ASCII part names).
+"""
+
+from __future__ import annotations
+
+from company_name_matching_spark.functions.vnnorm import (
+    ACCENT_DST,
+    ACCENT_SRC,
+    ENTITY_RULES,
+    FUNCTIONAL_RULES,
+    SPECIAL_CHAR_PATTERN,
+    STOPWORDS,
+    STOPWORDS_NO_ACCENT,
+)
+
+
+def _rr(expr: str, pattern: str, repl: str) -> str:
+    pattern = pattern.replace("'", "''")
+    repl = repl.replace("'", "''")
+    return f"regexp_replace({expr}, '{pattern}', '{repl}', 'g')"
+
+
+def clean_name_sql(col: str) -> str:
+    """Render the full clean_name pipeline as nested DuckDB SQL.
+
+    RE2 limitation: the lookahead-based 'br ' rule is skipped (see module
+    docstring); every other rule is rendered verbatim from the rule tables.
+    """
+    e = f"lower(trim({col}))"
+    for pat, rep in ENTITY_RULES:
+        e = _rr(e, pat, rep)
+    for pat, rep in FUNCTIONAL_RULES:
+        if "(?=" in pat:  # RE2 has no lookahead
+            continue
+        e = _rr(e, pat, rep)
+    e = _rr(e, SPECIAL_CHAR_PATTERN, " ")
+    for pat in STOPWORDS:
+        e = _rr(e, pat, "")
+    e = f"translate({e}, '{ACCENT_SRC}', '{ACCENT_DST}')"
+    for pat in STOPWORDS_NO_ACCENT:
+        e = _rr(e, pat, "")
+    e = _rr(e, r"\s+", " ")
+    return f"trim({e})"
+
+
+_TOKENS = "regexp_split_to_array(trim({t}), '\\s+')"
+_STOPWORD_LIST = "['the','a','an','and','or','of','to','in','is','on']"
+_VI_CLASS = "[àáạảãâầấậẩẫăằắặẳẵèéẹẻẽêềếệểễìíịỉĩòóọỏõôồốộổỗơờớợởỡùúụủũưừứựửữỳýỵỷỹđ]"
+
+
+def _fingerprint(t: str) -> str:
+    return f"md5(lower(regexp_replace(trim({t}), '\\s+', ' ', 'g')))"
+
+
+def build_oracles() -> dict[str, str]:
+    toks = _TOKENS.format(t="text")
+    toks_lower = _TOKENS.format(t="lower(text)")
+    nospace = "length(regexp_replace(trim(text), '\\s+', '', 'g'))"
+    punct = ("CASE WHEN length(text) > 0 THEN "
+             "CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)"
+             " / length(text) ELSE 0.0 END")
+    swr = (f"CASE WHEN len({toks_lower}) > 0 THEN "
+           f"CAST(len(list_filter({toks_lower}, x -> list_contains({_STOPWORD_LIST}, x))) AS DOUBLE)"
+           f" / len({toks_lower}) ELSE 0.0 END")
+    rep = (f"CASE WHEN len({toks}) > 0 THEN "
+           f"CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks}) ELSE 0.0 END")
+    len_ok = "CASE WHEN length(text) BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.5 END"
+
+    cosine = ("round(list_cosine_similarity("
+              "CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])), 6)")
+
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+                   COUNT(*) AS count_order,
+                   ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q3_top_orders": """
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+        """,
+        "q5_region_revenue": """
+            SELECT r_name, n_name,
+                   ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+            FROM region JOIN nation ON r_regionkey = n_regionkey
+                        JOIN customer ON n_nationkey = c_nationkey
+                        JOIN orders ON c_custkey = o_custkey
+                        JOIN lineitem ON o_orderkey = l_orderkey
+                        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "top_customer_per_nation": """
+            WITH spend AS (
+                SELECT c_custkey, c_name, c_nationkey,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_spend
+                FROM customer JOIN orders ON c_custkey = o_custkey
+                GROUP BY 1, 2, 3
+            ), ranked AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                        ORDER BY total_spend DESC, c_custkey ASC) AS rn
+                FROM spend
+            )
+            SELECT n_name, c_name, ROUND(total_spend, 2) AS total_spend
+            FROM ranked JOIN nation ON c_nationkey = n_nationkey
+            WHERE rn = 1 ORDER BY n_name
+        """,
+        "priority_rates": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   SUM(CASE WHEN o_totalprice >= 200000 THEN 1 ELSE 0 END) AS n_big,
+                   SUM(CASE WHEN o_totalprice >= 100000 AND o_totalprice < 200000 THEN 1 ELSE 0 END) AS n_mid,
+                   SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            ORDER BY c_custkey
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+            FROM g GROUP BY 1 ORDER BY 1
+        """,
+        "events_latest_per_user_type": """
+            SELECT user_id, event_type, event_id, ts, ROUND(value, 6) AS value
+            FROM events
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts DESC, event_id DESC) = 1
+            ORDER BY user_id, event_type
+        """,
+        "norm_fold_accents": f"""
+            SELECT c_custkey,
+                   translate(lower(c_name), '{ACCENT_SRC}', '{ACCENT_DST}') AS folded
+            FROM customer ORDER BY c_custkey
+        """,
+        "norm_clean_names": f"""
+            SELECT p_partkey, {clean_name_sql('p_name')} AS cleaned
+            FROM part ORDER BY p_partkey
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   len({toks}) AS n_tokens,
+                   len(list_distinct({toks})) AS n_distinct,
+                   ROUND({swr}, 6) AS stopword_ratio,
+                   ROUND({punct}, 6) AS punct_ratio,
+                   ROUND(CASE WHEN len({toks}) > 0
+                              THEN CAST({nospace} AS DOUBLE) / len({toks})
+                              ELSE 0.0 END, 6) AS mean_token_len
+            FROM documents ORDER BY doc_id
+        """,
+        "text_quality_langid": f"""
+            SELECT doc_id,
+                   ROUND(({rep}) * 0.5 + (1.0 - ({punct})) * 0.3 + ({len_ok}) * 0.2, 6) AS quality,
+                   CASE WHEN regexp_matches(text, '{_VI_CLASS}') THEN 'vi'
+                        WHEN ({swr}) >= 0.05 THEN 'en'
+                        ELSE 'other' END AS pred_lang
+            FROM documents ORDER BY doc_id
+        """,
+        "docs_fingerprint_groups": f"""
+            SELECT {_fingerprint('text')} AS fingerprint,
+                   COUNT(*) AS group_size, MIN(doc_id) AS canonical_id
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "docs_keep_longest": f"""
+            SELECT doc_id, {_fingerprint('text')} AS fingerprint, n_chars
+            FROM documents
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY {_fingerprint('text')}
+                                       ORDER BY length(text) DESC, doc_id ASC) = 1
+            ORDER BY doc_id
+        """,
+        "docs_jaccard_neardup": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+                FROM documents
+            )
+            SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+                   ROUND(CAST(len(l.toks) + len(r.toks) - len(list_distinct(l.toks || r.toks)) AS DOUBLE)
+                         / len(list_distinct(l.toks || r.toks)), 6) AS jaccard
+            FROM t l JOIN t r ON l.lang = r.lang AND l.doc_id < r.doc_id
+            WHERE CAST(len(l.toks) + len(r.toks) - len(list_distinct(l.toks || r.toks)) AS DOUBLE)
+                  / len(list_distinct(l.toks || r.toks)) >= 0.6
+            ORDER BY 1, 2
+        """,
+        "emb_neardup": f"""
+            SELECT l.vec_id AS left_id, r.vec_id AS right_id, {cosine} AS cosine
+            FROM embeddings l JOIN embeddings r
+                 ON l.label = r.label AND l.vec_id < r.vec_id
+            WHERE {cosine} >= 0.9
+            ORDER BY 1, 2
+        """,
+        "ann_topk": f"""
+            WITH scored AS (
+                SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id, {cosine} AS cosine
+                FROM embeddings l JOIN embeddings r ON l.vec_id != r.vec_id
+                WHERE l.vec_id < 10
+            )
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+            FROM scored
+            QUALIFY rank <= 5
+            ORDER BY query_id, rank
+        """,
+        "multimodal_meta": """
+            SELECT doc_id AS content_id, 'txt' AS format,
+                   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                   md5(text) AS checksum
+            FROM documents ORDER BY content_id
+        """,
+        "multimodal_features": f"""
+            SELECT doc_id AS content_id,
+                   CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                   4 AS feature_dim,
+                   ROUND(CASE WHEN len({toks}) > 0
+                              THEN CAST({nospace} AS DOUBLE) / len({toks})
+                              ELSE 0.0 END, 6) AS mean_tok_len
+            FROM documents ORDER BY content_id
+        """,
+        # docs_minhash_neardup / docs_simhash_neardup / ann_lsh_topk /
+        # er_cluster_parts: engine-hash-dependent or iterative — rows-only.
+    }

@@ -1,0 +1,124 @@
+"""Targeted tests for dedup / ANN / multimodal operators on controlled data."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from company_name_matching_spark.operators import ann, dedup, multimodal
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s", 44),
+        (2, "The quick  brown fox jumps over the lazy dog", "en", "s", 45),  # ws/case dup
+        (3, "the quick brown fox jumps over the lazy cat", "en", "s", 44),  # near-dup
+        (4, "completely different text about spark engines", "en", "s", 46),
+        (5, "ein ganz anderer deutscher text", "de", "s", 31),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_exact_groups_and_keep_longest(spark, docs):
+    groups = dedup.exact_groups(docs)
+    sizes = {r["canonical_id"]: r["group_size"] for r in groups.collect()}
+    assert sizes[1] == 2  # docs 1 & 2 share a fingerprint
+    kept = dedup.dedup_keep_longest(docs)
+    assert kept.count() == 4
+    # longest of the dup group (doc 2, 45 chars) wins
+    assert kept.where(F.col("doc_id") == 2).count() == 1
+    assert kept.where(F.col("doc_id") == 1).count() == 0
+
+
+def test_jaccard_pairs(spark, docs):
+    pairs = {
+        (r["left_id"], r["right_id"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs, block_col="lang", threshold=0.5).collect()
+    }
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.7
+    assert (1, 4) not in pairs
+    # cross-language pair blocked away even if similar
+    assert all(left != 5 and right != 5 for left, right in pairs)
+
+
+def test_minhash_pairs_find_neardups(spark, docs):
+    pairs = {(r["left_id"], r["right_id"]) for r in dedup.minhash_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs or (1, 3) in pairs  # near-dups surface
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_simhash_pairs(spark):
+    """SimHash's hamming-locality property needs long documents (on short
+    ones a single token flips many signature bits), so test on 50-token docs."""
+    base = " ".join(f"tok{i}" for i in range(50))
+    rows = [
+        (1, base + " dog", "en", "s", 0),
+        (2, base + " cat", "en", "s", 0),  # one-token change → tiny hamming
+        (3, " ".join(f"other{i}" for i in range(50)), "en", "s", 0),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    pairs = {(r["left_id"], r["right_id"]): r["hamming"] for r in
+             dedup.simhash_pairs(d, max_hamming=4).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 4
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_deterministic(spark, docs):
+    a = dedup.simhash_pairs(docs, max_hamming=8).collect()
+    b = dedup.simhash_pairs(docs, max_hamming=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        base = [math.cos(0.3 * i + 0.1 * d) for d in range(8)]
+        rows.append((i, [float(x) for x in base], i % 4))
+    # vec 100 = exact copy of vec 0 → cosine 1
+    rows.append((100, rows[0][1], 0))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk(spark, vecs):
+    q = vecs.where(F.col("vec_id") == 0)
+    top = ann.brute_force_topk(q, vecs, k=3).collect()
+    assert len(top) == 3
+    assert top[0]["neighbor_id"] == 100 and top[0]["cosine"] == pytest.approx(1.0)
+    assert [r["rank"] for r in top] == [1, 2, 3]
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, vecs):
+    q = vecs.where(F.col("vec_id") < 5)
+    bf = {(r["query_id"], r["neighbor_id"]) for r in
+          ann.brute_force_topk(q, vecs, k=3).collect()}
+    lsh = {(r["query_id"], r["neighbor_id"]) for r in
+           ann.lsh_topk(q, vecs, k=3, dim=8, n_planes=4, n_tables=6).collect()}
+    recall = len(bf & lsh) / len(bf)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_embedding_neardup(spark, vecs):
+    pairs = dedup.embedding_neardup_pairs(vecs, block_col="label", threshold=0.999)
+    got = {(r["left_id"], r["right_id"]) for r in pairs.collect()}
+    assert (0, 100) in got
+
+
+def test_multimodal_plumbing(spark, docs):
+    b = multimodal.attach_binary(docs)
+    assert b.schema.simpleString().startswith(
+        "struct<content_id:bigint,payload:binary,format:string"
+    )
+    feats = multimodal.extract_features(b)
+    rows = {r["content_id"]: r for r in feats.collect()}
+    assert rows[1]["feature_dim"] == 4
+    assert rows[1]["features"][1] == 9.0  # token count of doc 1
+    # unknown format fails loudly (decoder stub)
+    bad = b.withColumn("format", F.lit("jpeg"))
+    with pytest.raises(Exception, match="NotImplementedError|decoder"):
+        multimodal.extract_features(bad).collect()

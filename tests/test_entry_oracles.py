@@ -1,0 +1,87 @@
+"""Local mirror of the driver's correctness gate: run every entry query in
+Spark and its oracle in DuckDB at sf0.001 and demand exact value equality
+(the driver hashes values, so approximate equality is not enough).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(pdf.columns)
+    out = pdf[cols].copy()
+    for c in cols:
+        if pd.api.types.is_datetime64_any_dtype(out[c]):
+            out[c] = out[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(out[c]):
+            out[c] = out[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(out[c]):
+            out[c] = out[c].astype("int64")
+    return out.sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+def test_every_oracle_has_a_query():
+    missing = set(ORACLES) - set(QUERIES)
+    assert not missing, f"oracles without queries: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, con):
+    got = _canon(QUERIES[name](spark, SF_DIR).toPandas())
+    want = _canon(con.sql(ORACLES[name]).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_exact=True, check_dtype=False)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(name, spark):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0  # materializes without error, stable schema
+    assert len(df.columns) > 0
+
+
+def test_br_lookahead_rule_is_noop_on_oracle_data(con):
+    """The DuckDB oracle omits the lookahead 'br ' rule; assert the rule
+    cannot fire on this data (no 'br' token followed by a legal-form word)."""
+    n = con.sql(
+        r"SELECT count(*) FROM part WHERE lower(p_name) SIMILAR TO "
+        r"'.*\bbr (co|cty|công|tnhh|cp|chi|cn)\b.*'"
+    ).fetchone()[0]
+    assert n == 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert {"p_partkey", "cluster_id", "cluster_size"} == set(df.columns)
