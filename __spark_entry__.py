@@ -364,6 +364,76 @@ def multimodal_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Rank fusion / rerank (SURVEY.md V7/V10/W3/W4)
+# ---------------------------------------------------------------------------
+
+def rrf_part_ranking(spark, sf_dir):
+    """Reciprocal Rank Fusion of two retrievers (price-rank and size-rank)
+    per brand — the distributed form of matcher.py:41-55."""
+    from company_name_matching_spark.operators import rank
+
+    p = _t(spark, sf_dir, "part")
+    by_price = p.select(
+        F.col("p_brand").alias("query_id"),
+        F.col("p_partkey").alias("candidate_id"),
+        F.col("p_retailprice").alias("score"),
+    )
+    by_size = p.select(
+        F.col("p_brand").alias("query_id"),
+        F.col("p_partkey").alias("candidate_id"),
+        F.col("p_size").cast("double").alias("score"),
+    )
+    return (
+        rank.rrf_fuse({"price": by_price, "size": by_size})
+        .withColumnRenamed("query_id", "p_brand")
+        .withColumnRenamed("candidate_id", "p_partkey")
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+def top3_parts_per_brand(spark, sf_dir):
+    """Windowed top-k with deterministic tiebreak (W3 semantics)."""
+    from company_name_matching_spark.operators import rank
+
+    p = _t(spark, sf_dir, "part")
+    scored = p.select(
+        F.col("p_brand").alias("query_id"),
+        F.col("p_partkey").alias("candidate_id"),
+        F.col("p_retailprice").alias("score"),
+    )
+    return (
+        rank.topk(scored, 3)
+        .select(
+            F.col("query_id").alias("p_brand"),
+            F.col("candidate_id").alias("p_partkey"),
+            F.round("score", 2).alias("score"),
+            "rank",
+        )
+        .orderBy("p_brand", "rank")
+    )
+
+
+def search_parts_self(spark, sf_dir):
+    """Distributed top-k search smoke: part names uppercased as queries
+    against the part corpus — each query's rank-1 must include itself.
+    Fuzzy pipeline (blocking + scoring + window post-rules) → rows-only."""
+    from company_name_matching_spark.operators.search import SearchConfig, search_topk
+
+    p = _t(spark, sf_dir, "part").limit(300)
+    corpus = p.select(
+        F.col("p_partkey").cast("string").alias("company_id"),
+        F.col("p_name").alias("name"),
+    )
+    queries = p.select(
+        F.concat(F.lit("q"), F.col("p_partkey").cast("string")).alias("query_id"),
+        F.upper("p_name").alias("query_text"),
+    )
+    return search_topk(corpus, queries, SearchConfig(k=1)).orderBy(
+        "query_id", "company_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Record linkage end-to-end (flagship)
 # ---------------------------------------------------------------------------
 
@@ -423,6 +493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "multimodal_meta": multimodal_meta,
         "multimodal_features": multimodal_features,
+        "rrf_part_ranking": rrf_part_ranking,
+        "top3_parts_per_brand": top3_parts_per_brand,
+        "search_parts_self": search_parts_self,
         "er_cluster_parts": er_cluster_parts,
     }
 

@@ -74,10 +74,15 @@ def main() -> None:
     # one fixture unit ≈ n_companies * (1 + per_company) rows
     unit = n_companies * (1 + per_company)
     upsample = max(1, math.ceil(target_pages / unit))
-    pages = fixtures.pages_dataframe(
-        spark, n_companies=n_companies, per_company=per_company,
-        upsample=upsample, partitions=2 * CPUS,
-    ).cache()
+    from company_name_matching_spark.sources.store import materialize
+
+    pages = materialize(
+        fixtures.pages_dataframe(
+            spark, n_companies=n_companies, per_company=per_company,
+            upsample=upsample, partitions=2 * CPUS,
+        ),
+        "bench_pages",
+    )
     n_pages = pages.count()
 
     t0 = time.monotonic()

@@ -141,17 +141,27 @@ def generate_blocks(names: DataFrame, cfg: BlockingConfig | None = None) -> Data
     if "lsh" in cfg.channels:
         key_arrays.append(band_keys_col(F.col("match_key"), cfg))
     all_keys = F.concat(*key_arrays) if len(key_arrays) > 1 else key_arrays[0]
-    return names.select(
-        "record_id", F.explode(all_keys).alias("block_key")
+    # stage the key array in its own projection before explode: Generate
+    # re-evaluates its generator expression per OUTPUT row, which would
+    # recompute the MinHash signature keys× per record (~1.6× measured)
+    staged = names.select("record_id", all_keys.alias("_keys"))
+    return staged.select(
+        "record_id", F.explode("_keys").alias("block_key")
     ).dropDuplicates(["record_id", "block_key"])
 
 
-def filter_blocks(blocks: DataFrame, cfg: BlockingConfig) -> DataFrame:
+def filter_blocks(
+    blocks: DataFrame, cfg: BlockingConfig, min_size: int = 2
+) -> DataFrame:
     """Drop singleton blocks (no pairs) and oversized hot blocks (pair-explosion
-    cap — the explicit skew-splitting response the reference lacks)."""
+    cap — the explicit skew-splitting response the reference lacks).
+
+    ``min_size=2`` is for self-join dedup; query-vs-corpus search must pass
+    ``min_size=1`` (a corpus block of one is still a valid search target).
+    """
     sizes = blocks.groupBy("block_key").agg(F.count(F.lit(1)).alias("_bsz"))
     keep = sizes.where(
-        (F.col("_bsz") >= 2) & (F.col("_bsz") <= F.lit(cfg.max_block_size))
+        (F.col("_bsz") >= min_size) & (F.col("_bsz") <= F.lit(cfg.max_block_size))
     ).select("block_key")
     # block-key dimension is small relative to records → broadcast-join it
     return blocks.join(F.broadcast(keep), "block_key")
@@ -167,6 +177,13 @@ def candidate_pairs(
     """
     cfg = cfg or BlockingConfig()
     blocks = filter_blocks(generate_blocks(names, cfg), cfg)
+    # blocks feeds both sides of the self-join (and its sizes were already
+    # scanned once in filter_blocks) — materialize once; parquet scratch, not
+    # .persist(): the in-memory cache scan anti-scales with local threads
+    # (see sources/store.py)
+    from company_name_matching_spark.sources.store import materialize
+
+    blocks = materialize(blocks, "blocks")
     l = blocks.alias("l")
     r = blocks.alias("r")
     pairs = (

@@ -56,12 +56,17 @@ def connected_components(
     Nodes absent from ``edges`` are the caller's concern (singletons keep
     their own id — see :func:`attach_singletons`).
     """
+    from company_name_matching_spark.sources.store import materialize
+
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).dropDuplicates()
-    e = e.localCheckpoint(eager=True)
+    e = materialize(e, "cc_edges")
     prev_sig = None
     rounds = 0
     for rounds in range(1, max_iterations + 1):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # materialize each round through parquet: truncates the iterative
+        # join lineage AND avoids the in-memory cache scan contention at
+        # high thread counts (see sources/store.py)
+        e = materialize(_small_star(_large_star(e)), "cc_round")
         # bit_xor checksum: order-insensitive and overflow-free under ANSI mode
         sig = e.agg(
             F.count(F.lit(1)).alias("n"),

@@ -86,14 +86,18 @@ def validate_mentions(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def normalize_pages(pages: DataFrame, text_col: str = "text") -> DataFrame:
-    """pages → names with all scoring-side-features. One shuffle-free map."""
-    df = validate_mentions(pages, text_col)
+def normalize_mentions(
+    df: DataFrame, id_col: str, text_col: str, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Generic mention normalization: any (id, text) table → normalized
+    records with all scoring-side features. One shuffle-free map."""
+    df = validate_mentions(df, text_col)
     df = df.withColumn("_norm", _normalize_udf(F.col(text_col)))
     df = (
         df.select(
-            F.xxhash64("url").alias("record_id"),
-            "url",
+            F.xxhash64(id_col).alias("record_id"),
+            F.col(id_col).alias("source_id"),
+            *keep_cols,
             F.col(text_col).alias("name"),
             F.col("_norm.cleaned").alias("cleaned"),
             F.col("_norm.norm_key").alias("norm_key"),
@@ -109,6 +113,13 @@ def normalize_pages(pages: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
     return df
+
+
+def normalize_pages(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """pages → names with all scoring-side features (url is the identity)."""
+    return normalize_mentions(pages, "url", text_col).withColumnRenamed(
+        "source_id", "url"
+    )
 
 
 def dedup_exact(names: DataFrame, keep: str = "longest") -> DataFrame:

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    FloatType,
     IntegerType,
     StructField,
     StructType,
@@ -88,10 +89,13 @@ def build_idf(names: DataFrame, string_col: str = "match_key") -> dict:
     }
 
 
+# float32 values: halves the vector bytes moved through shuffles and the
+# Arrow boundary; cosine is computed in float64 after transfer (precision
+# loss ~1e-7, far below any threshold granularity)
 _VEC_SCHEMA = StructType(
     [
         StructField("tg_idx", ArrayType(IntegerType()), False),
-        StructField("tg_val", ArrayType(DoubleType()), False),
+        StructField("tg_val", ArrayType(FloatType()), False),
     ]
 )
 
@@ -147,8 +151,13 @@ def _pair_sims_udf(
     return pd.DataFrame({"cos_sim": cos, "jw_sim": jw})
 
 
-_SIDE_COLS = ("record_id", "match_key", "norm_key", "tokens", "entity_type",
-              "has_repeat", "tg_idx", "tg_val")
+# light features: enough to decide exactness + post-rules; no arrays
+_LIGHT_COLS = ("record_id", "match_key", "entity_type", "has_repeat")
+# heavy features: token arrays + sparse vectors, joined only for fuzzy pairs
+_HEAVY_COLS = ("record_id", "tokens", "tg_idx", "tg_val")
+
+_OUT_COLS = ("left_id", "right_id", "jaccard", "lev_sim", "cos_sim", "jw_sim",
+             "score", "is_match")
 
 
 def score_pairs(
@@ -156,21 +165,49 @@ def score_pairs(
 ) -> DataFrame:
     """pairs(left_id, right_id) × features → scored pairs with ``is_match``.
 
-    Feature columns ride along on the two equi-joins (sort-merge or
-    broadcast under AQE); the Arrow UDF runs once over the joined batch.
+    Two-tier plan (the dominant cost at scale is moving the TF-IDF vectors
+    through the join and the Arrow boundary, not the kernels):
+
+    1. join only the LIGHT features (match_key, entity_type, has_repeat);
+       pairs with equal match keys — the bulk of a dedup-heavy workload —
+       are decided right there (score 1.0) and never touch the vectors;
+    2. only the fuzzy remainder joins the HEAVY features (token arrays +
+       sparse TF-IDF vectors) and crosses into the Arrow UDF.
     """
     cfg = cfg or ScoringConfig()
-    feats = featurized.select(*_SIDE_COLS)
-    l = feats.select([F.col(c).alias(f"l_{c}") for c in _SIDE_COLS])
-    r = feats.select([F.col(c).alias(f"r_{c}") for c in _SIDE_COLS])
-    df = (
-        pairs.join(l, pairs.left_id == l.l_record_id)
-        .join(r, pairs.right_id == r.r_record_id)
+    light = featurized.select(*_LIGHT_COLS)
+    l_light = light.select([F.col(c).alias(f"l_{c}") for c in _LIGHT_COLS])
+    r_light = light.select([F.col(c).alias(f"r_{c}") for c in _LIGHT_COLS])
+    base = (
+        pairs.join(l_light, pairs.left_id == l_light.l_record_id)
+        .join(r_light, pairs.right_id == r_light.r_record_id)
         .drop("l_record_id", "r_record_id")
     )
+    # base feeds the exact and fuzzy branches — materialize the narrow join
+    # result (parquet scratch; in-memory cache anti-scales, see sources/store)
+    from company_name_matching_spark.sources.store import materialize
 
-    inter = F.size(F.array_intersect("l_tokens", "r_tokens"))
-    union = F.size(F.array_union("l_tokens", "r_tokens"))
+    base = materialize(base, "pair_base")
+
+    exact = base.where(F.col("l_match_key") == F.col("r_match_key")).select(
+        "left_id", "right_id",
+        F.lit(1.0).alias("jaccard"), F.lit(1.0).alias("lev_sim"),
+        F.lit(1.0).alias("cos_sim"), F.lit(1.0).alias("jw_sim"),
+        F.lit(1.0).alias("score"), F.lit(True).alias("is_match"),
+    )
+
+    fuzzy = base.where(F.col("l_match_key") != F.col("r_match_key"))
+    heavy = featurized.select(*_HEAVY_COLS)
+    l_heavy = heavy.select([F.col(c).alias(f"lh_{c}") for c in _HEAVY_COLS])
+    r_heavy = heavy.select([F.col(c).alias(f"rh_{c}") for c in _HEAVY_COLS])
+    df = (
+        fuzzy.join(l_heavy, fuzzy.left_id == l_heavy.lh_record_id)
+        .join(r_heavy, fuzzy.right_id == r_heavy.rh_record_id)
+        .drop("lh_record_id", "rh_record_id")
+    )
+
+    inter = F.size(F.array_intersect("lh_tokens", "rh_tokens"))
+    union = F.size(F.array_union("lh_tokens", "rh_tokens"))
     df = df.withColumn(
         "jaccard",
         F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(0.0),
@@ -184,7 +221,8 @@ def score_pairs(
         ).otherwise(0.0),
     )
     df = df.withColumn("_sims", _pair_sims_udf(
-        "l_match_key", "r_match_key", "l_tg_idx", "l_tg_val", "r_tg_idx", "r_tg_val"
+        "l_match_key", "r_match_key",
+        "lh_tg_idx", "lh_tg_val", "rh_tg_idx", "rh_tg_val"
     )).select("*", F.col("_sims.cos_sim").alias("cos_sim"),
               F.col("_sims.jw_sim").alias("jw_sim")).drop("_sims")
 
@@ -199,20 +237,16 @@ def score_pairs(
         fused * F.lit(cfg.repeat_penalty),
     ).otherwise(fused)
 
-    exact = F.col("l_match_key") == F.col("r_match_key")
     entity_conflict = (
         F.col("l_entity_type").isNotNull()
         & F.col("r_entity_type").isNotNull()
         & (F.col("l_entity_type") != F.col("r_entity_type"))
     )
-    df = df.withColumn("score", F.when(exact, F.lit(1.0)).otherwise(fused))
+    df = df.withColumn("score", fused)
     df = df.withColumn(
         "is_match",
-        F.when(exact, F.lit(True))
-        .when(entity_conflict, F.lit(False))
-        .otherwise(F.col("score") >= F.lit(cfg.threshold)),
+        F.when(entity_conflict, F.lit(False)).otherwise(
+            F.col("score") >= F.lit(cfg.threshold)
+        ),
     )
-    return df.select(
-        "left_id", "right_id", "jaccard", "lev_sim", "cos_sim", "jw_sim",
-        "score", "is_match",
-    )
+    return exact.select(*_OUT_COLS).unionByName(df.select(*_OUT_COLS))

@@ -1,0 +1,162 @@
+"""Distributed top-k company search — the reference's main entry point
+(``CompanyMatcher.search``, ``matcher.py:340-667``) without a driver-side
+index: queries are blocked against the corpus, scored pairwise on executors,
+and post-processed with window functions.
+
+Semantics preserved from the reference:
+
+* norm-key dedup + expansion — candidates sharing a match key count once for
+  ranking but every corpus original is returned (``matcher.py:599-625``);
+* repeated-token penalty ×0.85 on the candidate side (``matcher.py:627-638``);
+* entity-type promotion: if the query names an entity type and top-1
+  disagrees, the best agreeing candidate within a 0.20 gap is promoted
+  (``matcher.py:640-657``);
+* min_score gate: a query whose best score is below threshold returns
+  nothing (``matcher.py:663-665``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from company_name_matching_spark.operators import blocking, normalize, scoring
+
+REPEAT_PENALTY = 0.85  # matcher.py:632
+ENTITY_GAP_THRESHOLD = 0.20  # matcher.py:644
+
+
+@dataclass
+class SearchConfig:
+    k: int = 5
+    min_score: float = 0.0
+    blocking: blocking.BlockingConfig = field(default_factory=blocking.BlockingConfig)
+    scoring: scoring.ScoringConfig = field(default_factory=scoring.ScoringConfig)
+
+
+def search_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cfg: SearchConfig | None = None,
+    corpus_id: str = "company_id",
+    corpus_text: str = "name",
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+) -> DataFrame:
+    """(corpus, queries) → (query_id, company_id, company_name, score, rank).
+
+    Fully distributed: blocking bounds the candidate set per query; scoring
+    and all post-rules run as joins + windows.
+    """
+    cfg = cfg or SearchConfig()
+    c = normalize.normalize_mentions(corpus, corpus_id, corpus_text)
+    q = normalize.normalize_mentions(queries, query_id, query_text)
+
+    cb = blocking.filter_blocks(
+        blocking.generate_blocks(c, cfg.blocking), cfg.blocking, min_size=1
+    )
+    qb = blocking.generate_blocks(q, cfg.blocking)
+    cand = (
+        qb.withColumnRenamed("record_id", "left_id")
+        .join(cb.withColumnRenamed("record_id", "right_id"), "block_key")
+        .select("left_id", "right_id")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+
+    # score query-corpus pairs through the standard pairwise scorer over the
+    # union record space (record ids are xxhash64 of distinct id domains)
+    union_names = c.unionByName(q)
+    idf = scoring.build_idf(c)  # corpus-side IDF, the reference's fit corpus
+    feats = scoring.featurize(union_names, idf, cfg.scoring)
+    scored = scoring.score_pairs(feats, cand, cfg.scoring)
+
+    # attach sides: query info + candidate (corpus) info
+    qs = q.select(
+        F.col("record_id").alias("left_id"),
+        F.col("source_id").alias("qid"),
+        F.col("entity_type").alias("q_entity"),
+    )
+    cs = c.select(
+        F.col("record_id").alias("right_id"),
+        F.col("source_id").alias("cid"),
+        F.col("name").alias("company_name"),
+        F.col("match_key").alias("c_match_key"),
+        F.col("entity_type").alias("c_entity"),
+        F.col("has_repeat").alias("c_has_repeat"),
+    )
+    r = scored.join(qs, "left_id").join(cs, "right_id")
+
+    # repeated-token penalty on the candidate (matcher.py:627-638); exact
+    # pairs got score 1.0 in the scorer, so apply the post-penalty here for
+    # parity with the reference's post-processing order
+    r = r.withColumn(
+        "adj_score",
+        F.when(F.col("c_has_repeat"), F.col("score") * F.lit(REPEAT_PENALTY))
+        .otherwise(F.col("score")),
+    )
+
+    # norm-key dedup for ranking: one representative per (query, match_key)
+    wk = Window.partitionBy("qid", "c_match_key").orderBy(
+        F.col("adj_score").desc(), F.col("cid").asc()
+    )
+    reps = r.withColumn("_kr", F.row_number().over(wk)).where(F.col("_kr") == 1)
+
+    # entity-type promotion (matcher.py:640-657), expressed with two window
+    # aggregates: the overall best candidate and the best entity-agreeing one
+    wq = Window.partitionBy("qid")
+    top = F.max(F.struct(F.col("adj_score"), (-F.xxhash64("cid")).alias("_tb"),
+                         F.col("c_entity"))).over(wq)
+    agree_score = F.when(
+        F.col("q_entity").isNotNull() & (F.col("c_entity") == F.col("q_entity")),
+        F.col("adj_score"),
+    )
+    best_agree = F.max(agree_score).over(wq)
+    reps = reps.withColumn("_top_score", top["adj_score"])
+    reps = reps.withColumn("_top_entity", top["c_entity"])
+    reps = reps.withColumn("_best_agree", best_agree)
+    promote = (
+        F.col("q_entity").isNotNull()
+        & (F.col("_top_entity") != F.col("q_entity"))
+        & (F.col("c_entity") == F.col("q_entity"))
+        & (F.col("adj_score") == F.col("_best_agree"))
+        & ((F.col("_top_score") - F.col("adj_score")) <= ENTITY_GAP_THRESHOLD)
+    )
+    reps = reps.withColumn("_promoted", F.coalesce(promote, F.lit(False)))
+
+    wrank = Window.partitionBy("qid").orderBy(
+        F.col("_promoted").desc(), F.col("adj_score").desc(), F.col("cid").asc()
+    )
+    ranked = (
+        reps.withColumn("rank", F.row_number().over(wrank))
+        .where(F.col("rank") <= cfg.k)
+    )
+
+    # min_score gate (matcher.py:663-665): suppress a query's entire result
+    # list when its best score is too low
+    if cfg.min_score > 0.0:
+        gate = Window.partitionBy("qid")
+        ranked = ranked.withColumn("_best", F.max("adj_score").over(gate)).where(
+            F.col("_best") >= cfg.min_score
+        ).drop("_best")
+
+    # expand norm-key groups: all corpus originals sharing the winning match
+    # key are returned with the representative's rank (matcher.py:612-621)
+    expansion = c.select(
+        F.col("match_key").alias("c_match_key"),
+        F.col("source_id").alias("company_id"),
+        F.col("name").alias("expanded_name"),
+    )
+    out = (
+        ranked.join(expansion, "c_match_key")
+        .select(
+            F.col("qid").alias("query_id"),
+            "company_id",
+            F.col("expanded_name").alias("company_name"),
+            F.round("adj_score", 6).alias("score"),
+            "rank",
+        )
+    )
+    return out

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from company_name_matching_spark.operators import blocking, clustering, normalize, scoring
+from company_name_matching_spark.sources import store
 
 
 @dataclass
@@ -66,15 +67,19 @@ class _Checkpointer:
     def read(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(str(self._dir(stage) / "data"))
 
-    def _partition_rows(self, df: DataFrame) -> list[dict]:
+    def _count_and_partitions(self, df: DataFrame) -> tuple[int, list[dict]]:
+        """ONE job for both the stage row count and the per-partition lineage
+        rows (total = sum of partition counts) — a naive count() +
+        partition-groupBy would compute the stage twice."""
         if not self.cfg.collect_partition_metrics:
-            return []
-        return [
+            return df.count(), []
+        parts = [
             r.asDict()
             for r in df.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count(F.lit(1)).alias("rows"))
             .collect()
         ]
+        return sum(p["rows"] for p in parts), parts
 
     def run(self, stage: str, fn, persist: bool = True) -> DataFrame:
         """Compute-or-restore a stage; record metrics either way."""
@@ -92,7 +97,15 @@ class _Checkpointer:
             out = self._dir(stage)
             df.write.mode("overwrite").parquet(str(out / "data"))
             df = self.spark.read.parquet(str(out / "data"))
-        rows = df.count()
+        else:
+            # no storage checkpoint → still materialize through parquet
+            # scratch: the stage output is consumed by the metrics job AND
+            # downstream stages (without a barrier every consumer recomputes
+            # the lineage), and .persist() is NOT a substitute — the
+            # in-memory cache scan contends badly at high thread counts
+            # (see sources/store.py)
+            df = store.materialize(df, stage)
+        rows, parts = self._count_and_partitions(df)
         elapsed = time.monotonic() - t0
         entry = {
             "run_id": self.cfg.run_id,
@@ -101,7 +114,7 @@ class _Checkpointer:
             "rows": rows,
             "elapsed_s": round(elapsed, 4),
             "rows_per_s": round(rows / elapsed, 2) if elapsed > 0 else None,
-            "partitions": self._partition_rows(df),
+            "partitions": parts,
         }
         self.metrics.append(entry)
         if self.root and persist:

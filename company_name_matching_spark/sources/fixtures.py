@@ -171,6 +171,30 @@ def variants_for(name: str, limit: int = 12, seed: int = 42) -> list[str]:
     return sorted(rng.sample(ordered, limit))
 
 
+def typo_variants(name: str, k: int, seed: int = 42) -> list[str]:
+    """Deterministic single-edit typos (swap/drop/double a char) on the
+    no-accent lowercase form — bench workload realism: typo pairs exercise
+    the fuzzy scoring path (they never collapse to an exact match key)."""
+    rng = random.Random(f"{seed}:typo:{name}")
+    base = _no_accent(name.lower())
+    out = []
+    for _ in range(k):
+        s = list(base)
+        idxs = [j for j, c in enumerate(s) if c.isalnum()]
+        if not idxs:
+            continue
+        j = rng.choice(idxs)
+        op = rng.random()
+        if op < 0.4 and j + 1 < len(s) and s[j + 1] != " ":
+            s[j], s[j + 1] = s[j + 1], s[j]
+        elif op < 0.7 and len(s) > 4:
+            del s[j]
+        else:
+            s.insert(j, s[j])
+        out.append("".join(s))
+    return out
+
+
 def labeled_queries(
     companies: list[tuple[str, str]], per_company: int = 6, seed: int = 42
 ) -> list[tuple[str, str, str, str]]:
@@ -213,6 +237,7 @@ def pages_rows(
     per_company: int = 6,
     seed: int = 42,
     upsample: int = 1,
+    typos_per_company: int = 0,
 ) -> list[tuple]:
     """Rows for the ``pages`` table: one page per corpus name and per labeled
     query variant. Returns tuples
@@ -228,6 +253,10 @@ def pages_rows(
     queries = labeled_queries(companies, per_company=per_company, seed=seed)
     base = [(name, cid, "corpus") for cid, name in companies]
     base += [(qtext, tid, "variant") for _, qtext, tid, _ in queries]
+    if typos_per_company:
+        for cid, name in companies:
+            for t in typo_variants(name, typos_per_company, seed):
+                base.append((t, cid, "typo"))
     rows = []
     seq = 0
     t0 = 1767225600  # 2026-01-01T00:00:00Z
@@ -250,7 +279,8 @@ PAGES_SCHEMA = (
 
 
 def pages_dataframe(spark, n_companies: int = 200, per_company: int = 6,
-                    seed: int = 42, upsample: int = 1, partitions: int | None = None):
+                    seed: int = 42, upsample: int = 1, partitions: int | None = None,
+                    typos_per_company: int = 0):
     """Materialize the fixture pages table as a Spark DataFrame."""
     import datetime as _dt
 
@@ -258,7 +288,7 @@ def pages_dataframe(spark, n_companies: int = 200, per_company: int = 6,
         (u, _dt.datetime.fromtimestamp(ts, _dt.timezone.utc).replace(tzinfo=None),
          h, t, lang, eid, kind)
         for (u, ts, h, t, lang, eid, kind) in pages_rows(
-            n_companies, per_company, seed, upsample
+            n_companies, per_company, seed, upsample, typos_per_company
         )
     ]
     df = spark.createDataFrame(rows, PAGES_SCHEMA)

@@ -249,6 +249,34 @@ def build_oracles() -> dict[str, str]:
                               ELSE 0.0 END, 6) AS mean_tok_len
             FROM documents ORDER BY content_id
         """,
+        "rrf_part_ranking": """
+            WITH price_rank AS (
+                SELECT p_brand, p_partkey,
+                       ROW_NUMBER() OVER (PARTITION BY p_brand
+                           ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+                FROM part
+            ), size_rank AS (
+                SELECT p_brand, p_partkey,
+                       ROW_NUMBER() OVER (PARTITION BY p_brand
+                           ORDER BY CAST(p_size AS DOUBLE) DESC, p_partkey ASC) AS rn
+                FROM part
+            )
+            SELECT COALESCE(a.p_brand, b.p_brand) AS p_brand,
+                   COALESCE(a.p_partkey, b.p_partkey) AS p_partkey,
+                   ROUND(COALESCE(1.0/(60+a.rn), 0) + COALESCE(1.0/(60+b.rn), 0), 6) AS rrf_score
+            FROM price_rank a FULL OUTER JOIN size_rank b
+                 ON a.p_brand = b.p_brand AND a.p_partkey = b.p_partkey
+            ORDER BY 1, 2
+        """,
+        "top3_parts_per_brand": """
+            SELECT p_brand, p_partkey, ROUND(p_retailprice, 2) AS score,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+                        ORDER BY p_retailprice DESC, p_partkey ASC) AS INT) AS rank
+            FROM part
+            QUALIFY rank <= 3
+            ORDER BY p_brand, rank
+        """,
         # docs_minhash_neardup / docs_simhash_neardup / ann_lsh_topk /
-        # er_cluster_parts: engine-hash-dependent or iterative — rows-only.
+        # search_parts_self / er_cluster_parts: engine-hash-dependent,
+        # fuzzy, or iterative — rows-only.
     }

@@ -11,7 +11,7 @@ Production launch (cluster):
 
 Sandbox launch (this environment, local[N] masters):
 
-    spark-submit --master local[8]  --py-files dist/company_name_matching_spark.zip \
+    spark-submit --master local[8] --driver-memory 8g --py-files dist/company_name_matching_spark.zip \
         scripts/run_pipeline.py --fixture-pages 800 --upsample 8
 
 The job reads a pages table (url, warc_ts, html, text, lang), runs

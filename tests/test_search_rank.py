@@ -1,0 +1,133 @@
+"""Tests for the distributed top-k search API and rank-fusion operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from company_name_matching_spark.operators import rank
+from company_name_matching_spark.operators.search import SearchConfig, search_topk
+from company_name_matching_spark.sources import fixtures
+
+
+@pytest.fixture(scope="module")
+def corpus_queries(spark):
+    comps = fixtures.base_companies(60)
+    corpus = spark.createDataFrame(comps, "company_id string, name string")
+    q = fixtures.labeled_queries(comps, per_company=3)
+    queries = spark.createDataFrame(
+        q, "query_id string, query_text string, target_id string, method string"
+    )
+    return corpus, queries
+
+
+def test_search_top1_accuracy(spark, corpus_queries):
+    corpus, queries = corpus_queries
+    res = search_topk(corpus, queries, SearchConfig(k=3))
+    # tie-as-rank-1 semantics (evaluate_matching.py:53-61): hit if the target
+    # appears among rank-1 rows
+    top1 = res.where(F.col("rank") == 1).select("query_id", "company_id")
+    hits = (
+        queries.join(
+            top1.withColumnRenamed("company_id", "got"), "query_id", "left"
+        )
+        .groupBy("query_id", "target_id")
+        .agg(F.max(F.when(F.col("got") == F.col("target_id"), 1).otherwise(0)).alias("hit"))
+    )
+    agg = hits.agg(F.avg("hit").alias("acc")).collect()[0]
+    assert agg["acc"] >= 0.99, f"top-1 accuracy {agg['acc']:.4f}"
+
+
+def test_search_min_score_gate(spark, corpus_queries):
+    corpus, _ = corpus_queries
+    junk = spark.createDataFrame(
+        [("QX", "zzz qqq totally unrelated gibberish")],
+        "query_id string, query_text string",
+    )
+    res = search_topk(corpus, junk, SearchConfig(k=3, min_score=0.9))
+    assert res.count() == 0
+
+
+def test_search_entity_promotion(spark):
+    """Query names 'cp'; corpus has a TNHH and a CP sibling with near scores —
+    the CP one must win rank 1 (matcher.py:640-657)."""
+    corpus = spark.createDataFrame(
+        [("C1", "CÔNG TY TNHH SƠN HÀ VIỆT"), ("C2", "CÔNG TY CỔ PHẦN SƠN HÀ VN")],
+        "company_id string, name string",
+    )
+    queries = spark.createDataFrame(
+        [("Q1", "ctcp son ha vn x")], "query_id string, query_text string"
+    )
+    cfg = SearchConfig(k=2)
+    res = {r["rank"]: r["company_id"] for r in
+           search_topk(corpus, queries, cfg).collect()}
+    assert res.get(1) == "C2"
+
+
+def test_rrf_fuse(spark):
+    a = spark.createDataFrame(
+        [("q", "c1", 0.9), ("q", "c2", 0.8), ("q", "c3", 0.1)],
+        "query_id string, candidate_id string, score double",
+    )
+    b = spark.createDataFrame(
+        [("q", "c2", 0.95), ("q", "c1", 0.2)],
+        "query_id string, candidate_id string, score double",
+    )
+    fused = {r["candidate_id"]: r["rrf_score"] for r in
+             rank.rrf_fuse({"a": a, "b": b}, k=60).collect()}
+    # c1: 1/61 + 1/62; c2: 1/62 + 1/61 → tie; c3: 1/63 only
+    assert fused["c1"] == pytest.approx(1 / 61 + 1 / 62, abs=1e-6)
+    assert fused["c2"] == pytest.approx(fused["c1"], abs=1e-6)
+    assert fused["c3"] < fused["c1"]
+
+
+def test_adaptive_rerank(spark):
+    df = spark.createDataFrame(
+        [
+            # q1: clear winner (gap 0.5) → keep stage-1 order
+            ("q1", "a", 0.9, 0.1), ("q1", "b", 0.4, 0.99),
+            # q2: ambiguous (gap 0.02) → stage-2 decides
+            ("q2", "a", 0.80, 0.2), ("q2", "b", 0.78, 0.95),
+        ],
+        "query_id string, candidate_id string, score double, score2 double",
+    )
+    out = rank.adaptive_rerank(df, "score2", gap_threshold=0.05)
+    rows = {(r["query_id"], r["candidate_id"]): r for r in out.collect()}
+    assert not rows[("q1", "a")]["used_rerank"]
+    assert rows[("q1", "a")]["final_score"] == 0.9
+    assert rows[("q2", "a")]["used_rerank"]
+    assert rows[("q2", "a")]["final_score"] == pytest.approx(0.2)
+    assert rows[("q2", "b")]["final_score"] == pytest.approx(0.95)
+
+
+def test_topk_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [("q", "b", 1.0), ("q", "a", 1.0), ("q", "c", 0.5)],
+        "query_id string, candidate_id string, score double",
+    )
+    out = rank.topk(df, 2).orderBy("rank").collect()
+    assert [r["candidate_id"] for r in out] == ["a", "b"]
+
+
+def test_catalog_lifecycle(spark, tmp_path):
+    from company_name_matching_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(str(tmp_path / "cat"))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    s0 = cat.write("t", df1)
+    assert cat.read(spark, "t").count() == 2
+
+    # merge: insert only missing keys
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    cat.merge_insert_missing(spark, "t", upd, "id")
+    got = {r["id"]: r["v"] for r in cat.read(spark, "t").collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}  # id 2 NOT overwritten
+
+    # time travel to the first snapshot
+    assert cat.read(spark, "t", snapshot=s0).count() == 2
+
+    # compact + expire
+    cat.compact(spark, "t", target_partitions=1, sort_by=["id"])
+    dropped = cat.expire_snapshots("t", keep_last=1)
+    assert len(dropped) >= 2
+    assert cat.read(spark, "t").count() == 3
+    with pytest.raises(Exception):
+        cat.read(spark, "t", snapshot=s0).count()
