@@ -289,7 +289,7 @@ def docs_jaccard_neardup(spark, sf_dir):
     from company_name_matching_spark.operators import dedup
 
     d = _t(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(d, block_col="lang", threshold=0.6).orderBy(
+    return dedup.jaccard_pairs(d, block_col="lang", threshold=0.8).orderBy(
         "left_id", "right_id"
     )
 
@@ -298,7 +298,7 @@ def docs_minhash_neardup(spark, sf_dir):
     from company_name_matching_spark.operators import dedup
 
     d = _t(spark, sf_dir, "documents")
-    return dedup.minhash_pairs(d, threshold=0.6).orderBy("left_id", "right_id")
+    return dedup.minhash_pairs(d, threshold=0.8).orderBy("left_id", "right_id")
 
 
 def docs_simhash_neardup(spark, sf_dir):

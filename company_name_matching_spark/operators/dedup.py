@@ -67,22 +67,42 @@ def jaccard_pairs(
     ``block_col`` keys the self-join (e.g. ``lang``); None means one global
     block — only sane for small corpora, use minhash_pairs at scale.
     """
+    from company_name_matching_spark.sources.store import materialize
+
     toks = F.array_distinct(textstats.tokens_col(F.lower(F.col(text_col))))
-    d = docs.select(
-        F.col(id_col).alias("id"),
-        toks.alias("toks"),
-        (F.col(block_col) if block_col else F.lit("all")).alias("bk"),
+    d = materialize(
+        docs.select(
+            F.col(id_col).alias("id"),
+            toks.alias("toks"),
+            F.size(toks).alias("n"),
+            (F.col(block_col) if block_col else F.lit("all")).alias("bk"),
+        ),
+        "jacc_toks",
     )
-    l = d.select(F.col("id").alias("left_id"), F.col("toks").alias("l_toks"), "bk")
-    r = d.select(F.col("id").alias("right_id"), F.col("toks").alias("r_toks"), "bk")
+    l = d.select(F.col("id").alias("left_id"), F.col("toks").alias("l_toks"),
+                 F.col("n").alias("l_n"), "bk")
+    r = d.select(F.col("id").alias("right_id"), F.col("toks").alias("r_toks"),
+                 F.col("n").alias("r_n"), "bk")
+    # lossless size-ratio prune: jaccard ≤ min(n)/max(n), so pairs whose
+    # size ratio is below the threshold can never qualify — filter BEFORE
+    # the array intersection (the expensive part)
+    ratio_ok = (
+        F.least("l_n", "r_n").cast("double")
+        >= F.lit(threshold) * F.greatest("l_n", "r_n")
+    )
     inter = F.size(F.array_intersect("l_toks", "r_toks"))
-    union = F.size(F.array_union("l_toks", "r_toks"))
     return (
         l.join(r, "bk")
-        .where(F.col("left_id") < F.col("right_id"))
+        .where((F.col("left_id") < F.col("right_id")) & ratio_ok)
+        # |A∪B| = |A|+|B|-|A∩B| — avoids materializing the union array
+        .withColumn("_i", inter)
         .withColumn(
             "jaccard",
-            F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(0.0),
+            F.when(
+                F.col("l_n") + F.col("r_n") - F.col("_i") > 0,
+                F.col("_i").cast("double")
+                / (F.col("l_n") + F.col("r_n") - F.col("_i")).cast("double"),
+            ).otherwise(0.0),
         )
         .where(F.col("jaccard") >= threshold)
         .select("left_id", "right_id", F.round("jaccard", 6).alias("jaccard"))
@@ -128,22 +148,39 @@ def minhash_pairs(
         )
         .dropDuplicates(["left_id", "right_id"])
     )
-    # verify candidates with exact trigram-set Jaccard (JVM-native)
+    # verify candidates with exact trigram-set Jaccard (JVM-native).
+    # Trigram arrays are materialized once per doc (docs appear in many
+    # candidate pairs; recomputing the shingle scan per pair dominates) and
+    # the size-ratio prune runs before the intersection.
     from company_name_matching_spark.operators.scoring import trigram_strings_col
+    from company_name_matching_spark.sources.store import materialize
 
-    tg = d.select(
-        "id", F.array_distinct(trigram_strings_col(F.col("ctext"))).alias("tg")
+    tg_arr = F.array_distinct(trigram_strings_col(F.col("ctext")))
+    tg = materialize(
+        d.select("id", tg_arr.alias("tg"), F.size(tg_arr).alias("n")), "mh_tg"
     )
     cand = (
-        cand.join(tg.withColumnRenamed("id", "left_id").withColumnRenamed("tg", "l_tg"), "left_id")
-        .join(tg.withColumnRenamed("id", "right_id").withColumnRenamed("tg", "r_tg"), "right_id")
+        cand.join(
+            tg.select(F.col("id").alias("left_id"), F.col("tg").alias("l_tg"),
+                      F.col("n").alias("l_n")), "left_id")
+        .join(
+            tg.select(F.col("id").alias("right_id"), F.col("tg").alias("r_tg"),
+                      F.col("n").alias("r_n")), "right_id")
+        .where(
+            F.least("l_n", "r_n").cast("double")
+            >= F.lit(threshold) * F.greatest("l_n", "r_n")
+        )
     )
     inter = F.size(F.array_intersect("l_tg", "r_tg"))
-    union = F.size(F.array_union("l_tg", "r_tg"))
     return (
-        cand.withColumn(
+        cand.withColumn("_i", inter)
+        .withColumn(
             "jaccard",
-            F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(0.0),
+            F.when(
+                F.col("l_n") + F.col("r_n") - F.col("_i") > 0,
+                F.col("_i").cast("double")
+                / (F.col("l_n") + F.col("r_n") - F.col("_i")).cast("double"),
+            ).otherwise(0.0),
         )
         .where(F.col("jaccard") >= threshold)
         .select("left_id", "right_id", F.round("jaccard", 6).alias("jaccard"))

@@ -211,7 +211,7 @@ def build_oracles() -> dict[str, str]:
                          / len(list_distinct(l.toks || r.toks)), 6) AS jaccard
             FROM t l JOIN t r ON l.lang = r.lang AND l.doc_id < r.doc_id
             WHERE CAST(len(l.toks) + len(r.toks) - len(list_distinct(l.toks || r.toks)) AS DOUBLE)
-                  / len(list_distinct(l.toks || r.toks)) >= 0.6
+                  / len(list_distinct(l.toks || r.toks)) >= 0.8
             ORDER BY 1, 2
         """,
         "emb_neardup": f"""
