@@ -269,6 +269,18 @@ def text_quality_langid(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+BM25_QUERY_TERMS = ["spark", "table", "join"]
+
+
+def bm25_docs(spark, sf_dir):
+    """Distributed Okapi BM25 over documents for a fixed term bag
+    (SURVEY.md V4 — explode→join→agg, no in-memory index)."""
+    from company_name_matching_spark.operators import bm25
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25.bm25_scores(d, BM25_QUERY_TERMS).orderBy("doc_id")
+
+
 def docs_fingerprint_groups(spark, sf_dir):
     from company_name_matching_spark.operators import dedup
 
@@ -483,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "norm_clean_names": norm_clean_names,
         "text_stats": text_stats,
         "text_quality_langid": text_quality_langid,
+        "bm25_docs": bm25_docs,
         "docs_fingerprint_groups": docs_fingerprint_groups,
         "docs_keep_longest": docs_keep_longest,
         "docs_jaccard_neardup": docs_jaccard_neardup,

@@ -1,0 +1,90 @@
+"""Distributed BM25 (Okapi) scoring — SURVEY.md V4.
+
+The reference wraps ``rank_bm25.BM25Okapi`` around an in-memory corpus
+(``matcher.py:210-214,287-289``); this is the distributed re-expression:
+document frequencies and length norms come from corpus aggregations, scoring
+is an explode→join→agg over (term, doc) postings. Everything JVM-native; the
+arithmetic follows the classic Okapi formula so a SQL oracle can reproduce
+it bit-for-bit (round-stabilized):
+
+    idf(t)      = ln( (N - df + 0.5) / (df + 0.5) + 1 )
+    score(q, d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·|d|/avgdl))
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+K1 = 1.5
+B = 0.75
+
+
+def _tokens(text_col):
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def doc_stats(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> tuple[DataFrame, DataFrame, int, float]:
+    """(postings, doclens, N, avgdl): term frequencies per doc, doc lengths,
+    corpus size, average doc length — three aggregations, no Python."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    postings = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doclens = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.count()
+    avgdl = doclens.agg(F.avg("dl")).collect()[0][0] or 0.0
+    return postings, doclens, n_docs, float(avgdl)
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Score every document against a bag of query terms.
+
+    Returns (doc_id, bm25) for docs matching ≥1 term, rounded for
+    cross-engine comparison. df/idf computed over the corpus; the query-term
+    list is a broadcast-sized literal dimension.
+    """
+    spark = docs.sparkSession
+    postings, doclens, n_docs, avgdl = doc_stats(docs, id_col, text_col)
+    qt = spark.createDataFrame([(t.lower(),) for t in query_terms], "term string")
+    df_t = (
+        postings.join(F.broadcast(qt), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = df_t.withColumn(
+        "idf",
+        F.log(
+            (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ),
+    )
+    scored = (
+        postings.join(F.broadcast(idf), "term")
+        .join(doclens, "doc")
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (1.0 - b + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+        .groupBy("doc")
+        # decimal accumulation → order-independent sum (cross-engine exact)
+        .agg(
+            F.round(
+                F.sum(F.col("contrib").cast("decimal(30,12)")).cast("double"), 6
+            ).alias("bm25")
+        )
+    )
+    return scored.select(F.col("doc").alias(id_col), "bm25")

@@ -188,6 +188,31 @@ def build_oracles() -> dict[str, str]:
                         ELSE 'other' END AS pred_lang
             FROM documents ORDER BY doc_id
         """,
+        "bm25_docs": """
+            WITH toks AS (
+                SELECT doc_id AS doc, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+                FROM documents
+            ), postings AS (
+                SELECT doc, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+            ), doclens AS (
+                SELECT doc, COUNT(*) AS dl FROM toks GROUP BY 1
+            ), consts AS (
+                SELECT (SELECT COUNT(*) FROM documents) AS n,
+                       (SELECT AVG(dl) FROM doclens) AS avgdl
+            ), idf AS (
+                SELECT term, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+                FROM (SELECT term, COUNT(*) AS df FROM postings
+                      WHERE term IN ('spark','table','join') GROUP BY 1), consts
+            )
+            SELECT p.doc AS doc_id,
+                   ROUND(CAST(SUM(CAST(
+                       i.idf * (p.tf * 2.5)
+                       / (p.tf + 1.5 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl))
+                   AS DECIMAL(30,12))) AS DOUBLE), 6) AS bm25
+            FROM postings p JOIN idf i USING (term)
+                            JOIN doclens d ON p.doc = d.doc, consts c
+            GROUP BY 1 ORDER BY 1
+        """,
         "docs_fingerprint_groups": f"""
             SELECT {_fingerprint('text')} AS fingerprint,
                    COUNT(*) AS group_size, MIN(doc_id) AS canonical_id
