@@ -75,7 +75,9 @@ def q1_pricing_summary(spark, sf_dir):
             _dec_sum("l_quantity").alias("sum_qty"),
             _dec_sum("l_extendedprice").alias("sum_base_price"),
             F.count(F.lit(1)).alias("count_order"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # decimal-sum-then-divide: F.avg over doubles is order-dependent;
+            # this matches the oracle's CAST(SUM(DECIMAL) AS DOUBLE)/COUNT(*)
+            F.round(_dec_sum("l_discount", 6) / F.count(F.lit(1)), 6).alias("avg_disc"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )

@@ -4,11 +4,18 @@ The reference wraps ``rank_bm25.BM25Okapi`` around an in-memory corpus
 (``matcher.py:210-214,287-289``); this is the distributed re-expression:
 document frequencies and length norms come from corpus aggregations, scoring
 is an explode→join→agg over (term, doc) postings. Everything JVM-native; the
-arithmetic follows the classic Okapi formula so a SQL oracle can reproduce
-it bit-for-bit (round-stabilized):
+arithmetic follows ``rank_bm25.BM25Okapi`` exactly (its defaults k1=1.5,
+b=0.75, epsilon=0.25) so rankings match the reference and a SQL oracle can
+reproduce scores bit-for-bit (round-stabilized):
 
-    idf(t)      = ln( (N - df + 0.5) / (df + 0.5) + 1 )
+    idf(t)      = ln( (N - df + 0.5) / (df + 0.5) ),
+                  floored to epsilon · avg_idf when negative
+                  (avg_idf = mean raw idf over the full corpus vocabulary)
     score(q, d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·|d|/avgdl))
+
+The negative-idf floor is the part naive ports miss: high-df terms (df >
+N/2) would otherwise get negative weights and can flip document rankings
+vs the reference.
 """
 
 from __future__ import annotations
@@ -18,6 +25,7 @@ from pyspark.sql import functions as F
 
 K1 = 1.5
 B = 0.75
+EPSILON = 0.25  # rank_bm25.BM25Okapi default
 
 
 def _tokens(text_col):
@@ -45,26 +53,38 @@ def bm25_scores(
     text_col: str = "text",
     k1: float = K1,
     b: float = B,
+    epsilon: float = EPSILON,
 ) -> DataFrame:
     """Score every document against a bag of query terms.
 
     Returns (doc_id, bm25) for docs matching ≥1 term, rounded for
     cross-engine comparison. df/idf computed over the corpus; the query-term
-    list is a broadcast-sized literal dimension.
+    list is a broadcast-sized literal dimension. avg_idf is a corpus scalar
+    (decimal-accumulated so the mean is order-independent cross-engine).
     """
     spark = docs.sparkSession
     postings, doclens, n_docs, avgdl = doc_stats(docs, id_col, text_col)
+    if n_docs == 0 or avgdl <= 0.0:  # empty corpus: no scores, stable schema
+        return docs.select(F.col(id_col), F.lit(0.0).alias("bm25")).where(F.lit(False))
     qt = spark.createDataFrame([(t.lower(),) for t in query_terms], "term string")
-    df_t = (
-        postings.join(F.broadcast(qt), "term")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
+    raw_idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
-    idf = df_t.withColumn(
-        "idf",
-        F.log(
-            (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-        ),
+    df_all = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avg_idf = float(
+        df_all.agg(
+            (
+                F.sum(raw_idf.cast("decimal(30,15)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("ai")
+        ).collect()[0][0]
+    )
+    idf = (
+        df_all.join(F.broadcast(qt), "term")
+        .withColumn(
+            "idf",
+            F.when(raw_idf < 0, F.lit(epsilon * avg_idf)).otherwise(raw_idf),
+        )
     )
     scored = (
         postings.join(F.broadcast(idf), "term")

@@ -17,6 +17,7 @@ Semantics preserved from the reference:
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -27,6 +28,18 @@ from company_name_matching_spark.operators import blocking, normalize, scoring
 
 REPEAT_PENALTY = 0.85  # matcher.py:632
 ENTITY_GAP_THRESHOLD = 0.20  # matcher.py:644
+# stage4_match.py:121-127 — confidence tiers every downstream consumer uses
+CONFIDENCE_HIGH = 0.90
+CONFIDENCE_MEDIUM = 0.75
+
+
+def confidence_tier(score_col):
+    """match_confidence ∈ {high, medium, low} (stage4_match.py:121-127)."""
+    return (
+        F.when(score_col >= CONFIDENCE_HIGH, F.lit("high"))
+        .when(score_col >= CONFIDENCE_MEDIUM, F.lit("medium"))
+        .otherwise(F.lit("low"))
+    )
 
 
 @dataclass
@@ -67,11 +80,16 @@ def search_topk(
     )
 
     # score query-corpus pairs through the standard pairwise scorer over the
-    # union record space (record ids are xxhash64 of distinct id domains)
+    # union record space (record ids are xxhash64 of distinct id domains).
+    # The scorer's pair-level repeat penalty is DISABLED here: the reference
+    # search path applies a single candidate-side ×0.85 post-penalty
+    # (matcher.py:627-638) and never penalizes the query side — applying both
+    # would double-penalize fuzzy pairs (0.7225×).
     union_names = c.unionByName(q)
     idf = scoring.build_idf(c)  # corpus-side IDF, the reference's fit corpus
-    feats = scoring.featurize(union_names, idf, cfg.scoring)
-    scored = scoring.score_pairs(feats, cand, cfg.scoring)
+    search_scoring = dataclasses.replace(cfg.scoring, repeat_penalty=1.0)
+    feats = scoring.featurize(union_names, idf, search_scoring)
+    scored = scoring.score_pairs(feats, cand, search_scoring)
 
     # attach sides: query info + candidate (corpus) info
     qs = q.select(
@@ -104,22 +122,41 @@ def search_topk(
     )
     reps = r.withColumn("_kr", F.row_number().over(wk)).where(F.col("_kr") == 1)
 
-    # entity-type promotion (matcher.py:640-657), expressed with two window
-    # aggregates: the overall best candidate and the best entity-agreeing one
+    # base ranking BEFORE promotion; the reference only ever scans its
+    # truncated top_k result list (matcher.py:640-657), so promotion
+    # candidates are restricted to the base top-k window
+    wbase = Window.partitionBy("qid").orderBy(
+        F.col("adj_score").desc(), F.col("cid").asc()
+    )
+    reps = (
+        reps.withColumn("_base_rank", F.row_number().over(wbase))
+        .where(F.col("_base_rank") <= cfg.k)
+    )
+
+    # entity-type promotion (matcher.py:640-657): if the query names an
+    # entity type and the top-1 disagrees — INCLUDING a typeless top-1, whose
+    # None != query_et in the reference — promote the best agreeing candidate
+    # within the gap. Window aggregates over the top-k representatives only.
     wq = Window.partitionBy("qid")
-    top = F.max(F.struct(F.col("adj_score"), (-F.xxhash64("cid")).alias("_tb"),
-                         F.col("c_entity"))).over(wq)
+    reps = reps.withColumn(
+        "_top_score",
+        F.max(F.when(F.col("_base_rank") == 1, F.col("adj_score"))).over(wq),
+    ).withColumn(
+        "_top_entity",
+        F.max(F.when(F.col("_base_rank") == 1, F.col("c_entity"))).over(wq),
+    )
     agree_score = F.when(
-        F.col("q_entity").isNotNull() & (F.col("c_entity") == F.col("q_entity")),
+        (F.col("_base_rank") >= 2)
+        & F.col("q_entity").isNotNull()
+        & (F.col("c_entity") == F.col("q_entity")),
         F.col("adj_score"),
     )
-    best_agree = F.max(agree_score).over(wq)
-    reps = reps.withColumn("_top_score", top["adj_score"])
-    reps = reps.withColumn("_top_entity", top["c_entity"])
-    reps = reps.withColumn("_best_agree", best_agree)
+    reps = reps.withColumn("_best_agree", F.max(agree_score).over(wq))
     promote = (
         F.col("q_entity").isNotNull()
-        & (F.col("_top_entity") != F.col("q_entity"))
+        # null-safe: a typeless top-1 (NULL entity) still disagrees
+        & ~F.col("_top_entity").eqNullSafe(F.col("q_entity"))
+        & (F.col("_base_rank") >= 2)
         & (F.col("c_entity") == F.col("q_entity"))
         & (F.col("adj_score") == F.col("_best_agree"))
         & ((F.col("_top_score") - F.col("adj_score")) <= ENTITY_GAP_THRESHOLD)
@@ -134,13 +171,14 @@ def search_topk(
         .where(F.col("rank") <= cfg.k)
     )
 
-    # min_score gate (matcher.py:663-665): suppress a query's entire result
-    # list when its best score is too low
+    # min_score gate (matcher.py:663-665): the reference tests
+    # results[0].score AFTER promotion re-ordering — gate on the post-
+    # promotion rank-1 row's score, suppressing the query's whole list
     if cfg.min_score > 0.0:
-        gate = Window.partitionBy("qid")
-        ranked = ranked.withColumn("_best", F.max("adj_score").over(gate)).where(
-            F.col("_best") >= cfg.min_score
-        ).drop("_best")
+        ranked = ranked.withColumn(
+            "_gate",
+            F.max(F.when(F.col("rank") == 1, F.col("adj_score"))).over(wq),
+        ).where(F.col("_gate") >= cfg.min_score).drop("_gate")
 
     # expand norm-key groups: all corpus originals sharing the winning match
     # key are returned with the representative's rank (matcher.py:612-621)
@@ -157,6 +195,7 @@ def search_topk(
             F.col("expanded_name").alias("company_name"),
             F.round("adj_score", 6).alias("score"),
             "rank",
+            confidence_tier(F.col("adj_score")).alias("match_confidence"),
         )
     )
     return out

@@ -126,9 +126,12 @@ def build_oracles() -> dict[str, str]:
         "priority_rates": """
             SELECT o_orderpriority,
                    COUNT(*) AS n_orders,
-                   SUM(CASE WHEN o_totalprice >= 200000 THEN 1 ELSE 0 END) AS n_big,
-                   SUM(CASE WHEN o_totalprice >= 100000 AND o_totalprice < 200000 THEN 1 ELSE 0 END) AS n_mid,
-                   SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled
+                   -- DuckDB SUM(int) returns HUGEINT (→ float64 in pandas);
+                   -- Spark returns BIGINT. Cast so the driver's type-sensitive
+                   -- value hash sees the same int64 on both sides.
+                   CAST(SUM(CASE WHEN o_totalprice >= 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+                   CAST(SUM(CASE WHEN o_totalprice >= 100000 AND o_totalprice < 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_mid,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled
             FROM orders GROUP BY 1 ORDER BY 1
         """,
         "customers_without_orders": """
@@ -150,7 +153,7 @@ def build_oracles() -> dict[str, str]:
                             THEN 1 ELSE 0 END AS new_session
                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
-            SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+            SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
             FROM g GROUP BY 1 ORDER BY 1
         """,
         "events_latest_per_user_type": """
@@ -199,10 +202,20 @@ def build_oracles() -> dict[str, str]:
             ), consts AS (
                 SELECT (SELECT COUNT(*) FROM documents) AS n,
                        (SELECT AVG(dl) FROM doclens) AS avgdl
+            ), dfs AS (
+                SELECT term, COUNT(*) AS df FROM postings GROUP BY 1
+            ), rawidf AS (
+                -- rank_bm25.BM25Okapi idf: ln((N-df+0.5)/(df+0.5)), negative
+                -- values floored to epsilon*avg_idf (avg over FULL vocab)
+                SELECT term, ln((n - df + 0.5) / (df + 0.5)) AS ri
+                FROM dfs, consts
+            ), avgidf AS (
+                SELECT CAST(SUM(CAST(ri AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS ai
+                FROM rawidf
             ), idf AS (
-                SELECT term, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
-                FROM (SELECT term, COUNT(*) AS df FROM postings
-                      WHERE term IN ('spark','table','join') GROUP BY 1), consts
+                SELECT term, CASE WHEN ri < 0 THEN 0.25 * ai ELSE ri END AS idf
+                FROM rawidf, avgidf
+                WHERE term IN ('spark','table','join')
             )
             SELECT p.doc AS doc_id,
                    ROUND(CAST(SUM(CAST(

@@ -32,6 +32,10 @@ def con():
 
 
 def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Mirror the driver's canonicalization. Width differences inside a type
+    class (int32 vs int64) are normalized, but int↔float is NOT coerced —
+    the driver's value hash is type-sensitive, so a DuckDB HUGEINT (arriving
+    as float64) against a Spark BIGINT must FAIL here like it fails there."""
     cols = sorted(pdf.columns)
     out = pdf[cols].copy()
     for c in cols:
@@ -61,6 +65,12 @@ def test_query_matches_oracle(name, spark, con):
         f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    got_kinds = [d.kind for d in got.dtypes]
+    want_kinds = [d.kind for d in want.dtypes]
+    assert got_kinds == want_kinds, (
+        f"{name}: dtype-class mismatch {list(zip(got.columns, got_kinds, want_kinds))}"
+        " — the driver's value hash is type-sensitive (int vs float differs)"
+    )
     pd.testing.assert_frame_equal(got, want, check_exact=True, check_dtype=False)
 
 
