@@ -300,10 +300,13 @@ def docs_keep_longest(spark, sf_dir):
 
 
 def docs_jaccard_neardup(spark, sf_dir):
+    """Exact near-dup pairs via the lossless prefix-filter join (All-Pairs/
+    PPJoin) — provably the same pairs as the oracle's quadratic SQL join,
+    without the O(n²)-per-block candidate stage."""
     from company_name_matching_spark.operators import dedup
 
     d = _t(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(d, block_col="lang", threshold=0.8).orderBy(
+    return dedup.jaccard_pairs_prefix(d, block_col="lang", threshold=0.8).orderBy(
         "left_id", "right_id"
     )
 

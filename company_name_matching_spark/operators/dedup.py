@@ -109,6 +109,89 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact token-set Jaccard self-join via prefix filtering — the
+    scale-safe replacement for ``jaccard_pairs``.
+
+    All-Pairs / PPJoin (Bayardo, Ma, Srikant, WWW'07): order every record's
+    tokens by ascending global document frequency and keep only the first
+    ``n - ceil(t*n) + 1`` as its *prefix*. Any pair with J ≥ t must satisfy
+    |A∩B| ≥ t·max(|A|,|B|) (since J ≥ t ⟹ min ≥ t·max), so their prefixes
+    are guaranteed to share at least one token — candidate generation is a
+    join on (block, prefix-token) instead of an all-pairs product, and the
+    candidate set is a **deterministic superset** of the answer (unlike
+    MinHash banding, which is probabilistic). Verification recomputes the
+    exact Jaccard, so the output is provably identical to the naive
+    quadratic join. Prefix tokens are the *rarest* tokens of each record,
+    which bounds bucket sizes at scale; the lossless size-ratio prune
+    (J ≤ min/max) runs inside the candidate join.
+    """
+    from company_name_matching_spark.sources.store import materialize
+
+    toks = F.array_distinct(textstats.tokens_col(F.lower(F.col(text_col))))
+    d = materialize(
+        docs.select(
+            F.col(id_col).alias("id"),
+            toks.alias("toks"),
+            F.size(toks).alias("n"),
+            (F.col(block_col) if block_col else F.lit("all")).alias("bk"),
+        ),
+        "ppj_toks",
+    )
+    tok = d.select("id", "bk", "n", F.explode("toks").alias("tok"))
+    df_t = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "tok")
+    # ceil guard: t*n in doubles can land an ulp above an exact integer
+    # (0.8*5 = 4.000000000000001 → ceil 5 would LOSE pairs); the epsilon can
+    # only lengthen prefixes, never shorten them, so losslessness holds
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
+    prefix = (
+        tok.join(df_t, "tok")
+        .withColumn("_p", F.row_number().over(w))
+        .where(F.col("_p") <= prefix_len)
+        .select("id", "bk", "tok", "n")
+    )
+    cand = (
+        prefix.alias("l")
+        .join(prefix.alias("r"), ["bk", "tok"])
+        .where(
+            (F.col("l.id") < F.col("r.id"))
+            & (
+                F.least(F.col("l.n"), F.col("r.n")).cast("double")
+                >= F.lit(threshold) * F.greatest(F.col("l.n"), F.col("r.n"))
+            )
+        )
+        .select(F.col("l.id").alias("left_id"), F.col("r.id").alias("right_id"))
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    lt = d.select(F.col("id").alias("left_id"), F.col("toks").alias("l_toks"),
+                  F.col("n").alias("l_n"))
+    rt = d.select(F.col("id").alias("right_id"), F.col("toks").alias("r_toks"),
+                  F.col("n").alias("r_n"))
+    inter = F.size(F.array_intersect("l_toks", "r_toks"))
+    return (
+        cand.join(lt, "left_id")
+        .join(rt, "right_id")
+        .withColumn("_i", inter)
+        .withColumn(
+            "jaccard",
+            F.when(
+                F.col("l_n") + F.col("r_n") - F.col("_i") > 0,
+                F.col("_i").cast("double")
+                / (F.col("l_n") + F.col("r_n") - F.col("_i")).cast("double"),
+            ).otherwise(0.0),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def minhash_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -42,6 +42,43 @@ def test_jaccard_pairs(spark, docs):
     assert all(left != 5 and right != 5 for left, right in pairs)
 
 
+def test_jaccard_prefix_equals_naive(spark):
+    """The prefix-filter join is LOSSLESS: identical pairs+scores to the
+    naive quadratic join, on a corpus engineered with boundary cases
+    (J exactly at the threshold, subset pairs, disjoint sets, dup sets)."""
+    words = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        # deterministic overlapping windows of varying size
+        start, size = (i * 3) % 25, 4 + (i % 5)
+        rows.append((i, " ".join(words[start:start + size]), "en", "s", 0))
+    # exact-boundary pair: J = 4/5 = 0.8 precisely (float-ceil hazard)
+    rows.append((100, "a b c d", "en", "s", 0))
+    rows.append((101, "a b c d e", "en", "s", 0))
+    rows.append((102, "a b c d", "de", "s", 0))  # cross-lang: must stay blocked
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    for t in (0.5, 0.8, 0.9):
+        naive = {
+            (r["left_id"], r["right_id"]): r["jaccard"]
+            for r in dedup.jaccard_pairs(d, block_col="lang", threshold=t).collect()
+        }
+        pref = {
+            (r["left_id"], r["right_id"]): r["jaccard"]
+            for r in dedup.jaccard_pairs_prefix(
+                d, block_col="lang", threshold=t
+            ).collect()
+        }
+        assert pref == naive, f"threshold {t}: {set(pref) ^ set(naive)}"
+    # the exact-boundary pair (J = 4/5) must survive the float-ceil hazard
+    p8 = {
+        (r["left_id"], r["right_id"])
+        for r in dedup.jaccard_pairs_prefix(d, block_col="lang", threshold=0.8).collect()
+    }
+    assert (100, 101) in p8
+
+
 def test_minhash_pairs_find_neardups(spark, docs):
     pairs = {(r["left_id"], r["right_id"]) for r in dedup.minhash_pairs(docs, threshold=0.5).collect()}
     assert (1, 2) in pairs or (1, 3) in pairs  # near-dups surface
