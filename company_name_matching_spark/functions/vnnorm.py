@@ -173,6 +173,15 @@ MATCH_ALIASES: list[tuple[str, str]] = [
     (r'\bchi nhanh\b', 'cn'),
     (r'\bbr\b', 'cn'),
     (r'\btapdoan\b', 'td'),
+    # "1 thành viên" (combinatorial.py type_variants) folds to "1 thanh vien"
+    # after accent removal and is NOT covered by the entity rules (which only
+    # know "mot thanh vien"/"1tv"); canonicalize it so token-level blocking
+    # sees the same key as the corpus side
+    (r'\b1 thanh vien\b', 'mtv'),
+    # rule-order leftovers: an earlier rule can consume half of a compound
+    # ("san xuat tm"-type rules eat the "tm" of "tm-dv"), stranding a
+    # punctuation-only token that poisons token-set blocking
+    (r'(?<!\S)[-&+.,]+(?!\S)', ' '),
 ]
 
 
