@@ -347,11 +347,29 @@ def ann_topk(spark, sf_dir):
 
 
 def ann_lsh_topk(spark, sf_dir):
+    """Sign-LSH approximate top-k. Rows-only: hyperplanes are seeded floats
+    with no SQL twin, and sign-LSH recall on this UNSTRUCTURED synthetic
+    corpus (true neighbors at ~70-88°) is inherently low — see ann.py
+    docstring and the planted-structure recall pytest. ann_ivf_topk below is
+    the oracle-verified approximate path."""
     from company_name_matching_spark.operators import ann
 
     v = _t(spark, sf_dir, "embeddings")
     q = v.where(F.col("vec_id") < 10)
     return ann.lsh_topk(q, v, k=5).orderBy("query_id", "rank")
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (deterministic md5-sampled pivots, nearest-cell
+    inverted file, nprobe=6/10 probe). The DuckDB oracle replicates the
+    ALGORITHM itself — pivot choice, cell assignment, probing, re-rank — so
+    the driver verifies the distributed implementation against a declarative
+    SQL spec, independent of the corpus's (lack of) cluster structure."""
+    from company_name_matching_spark.operators import ann
+
+    v = _t(spark, sf_dir, "embeddings")
+    q = v.where(F.col("vec_id") < 10)
+    return ann.ivf_topk(q, v, k=5, n_cells=10, nprobe=6).orderBy("query_id", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -431,12 +449,15 @@ def top3_parts_per_brand(spark, sf_dir):
 
 
 def search_parts_self(spark, sf_dir):
-    """Distributed top-k search smoke: part names uppercased as queries
-    against the part corpus — each query's rank-1 must include itself.
-    Fuzzy pipeline (blocking + scoring + window post-rules) → rows-only."""
+    """Search self-recovery invariant, ORACLE-BACKED: every part name,
+    uppercased and queried against the part corpus, must recover itself in
+    its rank-1 group. The full fuzzy pipeline (blocking + scoring + window
+    post-rules + norm-key expansion) runs distributed; the oracle states the
+    a-priori correct answer (all queries self-recover), so any regression in
+    blocking recall or ranking turns this row red at the driver."""
     from company_name_matching_spark.operators.search import SearchConfig, search_topk
 
-    p = _t(spark, sf_dir, "part").limit(300)
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 300)
     corpus = p.select(
         F.col("p_partkey").cast("string").alias("company_id"),
         F.col("p_name").alias("name"),
@@ -445,8 +466,19 @@ def search_parts_self(spark, sf_dir):
         F.concat(F.lit("q"), F.col("p_partkey").cast("string")).alias("query_id"),
         F.upper("p_name").alias("query_text"),
     )
-    return search_topk(corpus, queries, SearchConfig(k=1)).orderBy(
-        "query_id", "company_id"
+    res = search_topk(corpus, queries, SearchConfig(k=1))
+    hits = (
+        res.where(F.col("rank") == 1)
+        .where(F.concat(F.lit("q"), F.col("company_id")) == F.col("query_id"))
+        .select("query_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    n_hit = F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+    return queries.join(hits, "query_id", "left").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        n_hit.cast("bigint").alias("n_rank1_self"),
+        (F.count(F.lit(1)) - n_hit).cast("bigint").alias("n_missed"),
     )
 
 
@@ -480,6 +512,50 @@ def er_cluster_parts(spark, sf_dir):
     )
 
 
+def er_invariants_parts(spark, sf_dir):
+    """Structural invariants of the full ER pipeline, ORACLE-BACKED (the
+    fuzzy clustering itself is not SQL-expressible, but these must-hold
+    properties of a correct run are): every record assigned to exactly one
+    cluster; no match_key group split across clusters (exact duplicates
+    always co-cluster); every cluster_id is the minimum record_id of its
+    cluster (the connected-components contract, clustering.py:58)."""
+    from company_name_matching_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    p = _t(spark, sf_dir, "part")
+    pages_like = p.select(
+        F.concat(F.lit("part://"), F.col("p_partkey").cast("string")).alias("url"),
+        F.col("p_name").alias("text"),
+    )
+    res = run_pipeline(spark, pages_like, cfg=PipelineConfig())
+    cl = res.clusters.select("record_id", "cluster_id")
+    n_records = p.agg(F.count(F.lit(1)).alias("n_records"))
+    n_assigned = cl.agg(
+        F.countDistinct("record_id").cast("bigint").alias("n_assigned")
+    )
+    n_multi = (
+        cl.groupBy("record_id").agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > 1)
+        .agg(F.count(F.lit(1)).alias("n_multi_assigned"))
+    )
+    n_split = (
+        res.names.select("record_id", "match_key")
+        .join(cl, "record_id")
+        .groupBy("match_key")
+        .agg(F.countDistinct("cluster_id").alias("_nc"))
+        .where(F.col("_nc") > 1)
+        .agg(F.count(F.lit(1)).alias("n_samekey_split"))
+    )
+    n_bad_center = (
+        cl.groupBy("cluster_id").agg(F.min("record_id").alias("_mn"))
+        .where(F.col("cluster_id") != F.col("_mn"))
+        .agg(F.count(F.lit(1)).alias("n_bad_center"))
+    )
+    return (
+        n_records.crossJoin(n_assigned).crossJoin(n_multi)
+        .crossJoin(n_split).crossJoin(n_bad_center)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return er_cluster_parts(spark, "/root/testdata/sf0.001")
@@ -509,12 +585,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup": emb_neardup,
         "ann_topk": ann_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "multimodal_meta": multimodal_meta,
         "multimodal_features": multimodal_features,
         "rrf_part_ranking": rrf_part_ranking,
         "top3_parts_per_brand": top3_parts_per_brand,
         "search_parts_self": search_parts_self,
         "er_cluster_parts": er_cluster_parts,
+        "er_invariants_parts": er_invariants_parts,
     }
 
 

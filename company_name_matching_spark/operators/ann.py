@@ -7,7 +7,17 @@
 * ``lsh_topk`` — random-hyperplane (sign) LSH: vectors bucketed by the bit
   pattern of sign(v·h_i); candidates share ≥1 of ``n_tables`` bucket keys;
   exact cosine re-rank inside buckets. Sub-quadratic scale path; recall
-  controlled by (n_planes, n_tables).
+  controlled by (n_planes, n_tables). NOTE: sign-LSH needs angular contrast
+  to work — on corpora whose true neighbors sit near 70-90° (e.g. uniform
+  random vectors), any LSH family degrades toward random sampling; measured
+  recall on planted-near-dup data is high (see tests), on the unstructured
+  synthetic bench corpus it is low. That is the data, not the index.
+* ``ivf_topk`` — IVF (inverted-file) coarse quantization: ``n_cells``
+  deterministic pivot vectors partition the corpus by nearest-pivot; a query
+  exhaustively re-ranks only its ``nprobe`` nearest cells. Fully
+  deterministic (pivots are an xxhash64-ordered corpus sample, ties broken
+  by id), so results are stable and oracle-comparable; cost is
+  ~nprobe/n_cells of brute force per query.
 
 All dot products are JVM-native (``zip_with`` + ``aggregate`` in double
 precision) — no Python in the scoring loop.
@@ -53,6 +63,78 @@ def brute_force_topk(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 10,
+    nprobe: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: deterministic pivots, nearest-cell assignment,
+    exact cosine re-rank over the query's ``nprobe`` nearest cells.
+
+    The coarse quantizer uses ``n_cells`` corpus vectors as pivots, chosen
+    as the smallest md5(id) — a deterministic uniform sample reproducible
+    across runs AND engines (k-means centroids would float-drift with
+    partitioning; md5 is SQL-expressible so the whole algorithm has an exact
+    DuckDB twin). Each corpus vector is assigned to its single nearest pivot
+    (6-dp-rounded cosine, ties → smaller pivot id — rounding makes the
+    argmax ulp-stable cross-engine), forming an inverted file; a query scans
+    only the cells of its ``nprobe`` nearest pivots. Per-query cost is
+    ~nprobe/n_cells of brute force. On clustered corpora nprobe ≪ n_cells
+    holds recall high; on unstructured data raise nprobe (recall→1 as
+    nprobe→n_cells, degrading gracefully to exact search).
+    """
+    pivots = (
+        corpus.select(
+            F.col(id_col).alias("cell_id"),
+            F.col(vec_col).alias("p_v"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "cell_id")
+        .limit(n_cells)
+        .drop("_h")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_v"))
+    wa = Window.partitionBy("neighbor_id").orderBy(
+        F.col("_sim").desc(), F.col("cell_id").asc()
+    )
+    assign = (
+        c.crossJoin(F.broadcast(pivots))
+        .withColumn("_sim", F.round(cosine_col(F.col("c_v"), F.col("p_v")), 6))
+        .withColumn("_rn", F.row_number().over(wa))
+        .where(F.col("_rn") == 1)
+        .select("neighbor_id", "c_v", "cell_id")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_v"))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("cell_id").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(pivots))
+        .withColumn("_sim", F.round(cosine_col(F.col("q_v"), F.col("p_v")), 6))
+        .withColumn("_rn", F.row_number().over(wp))
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", "q_v", "cell_id")
+    )
+    cand = (
+        probes.join(assign, "cell_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", F.round(cosine_col(F.col("q_v"), F.col("c_v")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -314,7 +314,134 @@ def build_oracles() -> dict[str, str]:
             QUALIFY rank <= 3
             ORDER BY p_brand, rank
         """,
-        # docs_minhash_neardup / docs_simhash_neardup / ann_lsh_topk /
-        # search_parts_self / er_cluster_parts: engine-hash-dependent,
-        # fuzzy, or iterative — rows-only.
+        # SimHash is fully SQL-expressible: the 64-bit signature is md5-token
+        # bit math (('0x'||substr(md5,1,16))::UBIGINT is byte-identical to
+        # the engine's digest[:8] big-endian), and the engine's 4×16-bit band
+        # join is PIGEONHOLE-EXACT for hamming ≤ 3 (≤3 differing bits across
+        # 4 chunks ⇒ ≥1 chunk equal), so its output provably equals this
+        # quadratic all-pairs oracle.
+        "docs_simhash_neardup": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+                FROM documents WHERE trim(text) <> ''
+            ), h AS (
+                SELECT doc_id,
+                       ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS hv
+                FROM toks
+            ), bits AS (
+                SELECT doc_id, i,
+                       SUM(CASE WHEN (hv >> (63 - i)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+                FROM h, (SELECT unnest(range(0, 64)) AS i) g
+                GROUP BY 1, 2
+            ), sig0 AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN acc > 0
+                                THEN (1::UBIGINT << (63 - i)) ELSE 0 END) AS sig
+                FROM bits GROUP BY 1
+            ), sig AS (
+                SELECT d.doc_id, COALESCE(s.sig, 0)::UBIGINT AS sig
+                FROM documents d LEFT JOIN sig0 s USING (doc_id)
+            )
+            SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+                   CAST(bit_count(xor(l.sig, r.sig)) AS INT) AS hamming
+            FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+            WHERE bit_count(xor(l.sig, r.sig)) <= 3
+            ORDER BY 1, 2
+        """,
+        # The exact comparator for MinHash-LSH: all-pairs char-trigram-set
+        # Jaccard ≥ 0.8 (same trigram definition as scoring.trigram_strings_col
+        # — substr windows over whitespace-collapsed lowered text, min 1 gram).
+        # MinHash banding is probabilistic in general, but deterministic for a
+        # fixed dataset+seed: verified to have 100% recall on the sf0.001 and
+        # sf0.01 corpora, so the entry's banded+verified output equals this
+        # quadratic oracle exactly (a recall miss would surface as a red row —
+        # which is precisely what this gate is for).
+        "docs_minhash_neardup": """
+            WITH c AS (
+                SELECT doc_id,
+                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ctext
+                FROM documents
+            ), tg AS (
+                SELECT doc_id,
+                       list_distinct([substring(ctext, i, 3)
+                                      for i in range(1, greatest(length(ctext) - 2, 1) + 1)]) AS tg
+                FROM c
+            ), sized AS (SELECT doc_id, tg, len(tg) AS n FROM tg)
+            SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+                   ROUND(CAST(len(list_intersect(l.tg, r.tg)) AS DOUBLE)
+                         / (l.n + r.n - len(list_intersect(l.tg, r.tg))), 6) AS jaccard
+            FROM sized l JOIN sized r
+                 ON l.doc_id < r.doc_id
+                AND least(l.n, r.n) >= 0.8 * greatest(l.n, r.n)
+            WHERE CAST(len(list_intersect(l.tg, r.tg)) AS DOUBLE)
+                  / (l.n + r.n - len(list_intersect(l.tg, r.tg))) >= 0.8
+            ORDER BY 1, 2
+        """,
+        # The IVF oracle replicates the ALGORITHM, not just the answer:
+        # md5-ordered pivot sample, 6dp-rounded-cosine nearest-cell
+        # assignment, nprobe=6 probing, exact re-rank — an executable SQL
+        # spec of ann.ivf_topk. (ann_lsh_topk stays rows-only: seeded float
+        # hyperplanes have no SQL twin.)
+        "ann_ivf_topk": f"""
+            WITH pivots AS (
+                SELECT vec_id AS cell_id, embedding AS p_v
+                FROM embeddings
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                LIMIT 10
+            ), assign AS (
+                SELECT e.vec_id AS neighbor_id, p.cell_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                           round(list_cosine_similarity(
+                               CAST(e.embedding AS DOUBLE[]),
+                               CAST(p.p_v AS DOUBLE[])), 6) DESC,
+                           p.cell_id ASC) AS rn
+                FROM embeddings e CROSS JOIN pivots p
+                QUALIFY rn = 1
+            ), probes AS (
+                SELECT q.vec_id AS query_id, p.cell_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                           round(list_cosine_similarity(
+                               CAST(q.embedding AS DOUBLE[]),
+                               CAST(p.p_v AS DOUBLE[])), 6) DESC,
+                           p.cell_id ASC) AS rn
+                FROM embeddings q CROSS JOIN pivots p
+                WHERE q.vec_id < 10
+                QUALIFY rn <= 6
+            ), cand AS (
+                SELECT DISTINCT pr.query_id, a.neighbor_id
+                FROM probes pr JOIN assign a USING (cell_id)
+                WHERE pr.query_id != a.neighbor_id
+            ), scored AS (
+                SELECT c.query_id, c.neighbor_id, {cosine} AS cosine
+                FROM cand c
+                JOIN embeddings l ON l.vec_id = c.query_id
+                JOIN embeddings r ON r.vec_id = c.neighbor_id
+            )
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+            FROM scored
+            QUALIFY rank <= 5
+            ORDER BY query_id, rank
+        """,
+        # Invariant oracles: the fuzzy engine output is not SQL-computable,
+        # but its must-hold properties are a-priori known constants — any
+        # blocking/scoring/clustering regression turns these rows red.
+        "search_parts_self": """
+            SELECT COUNT(*) AS n_queries,
+                   COUNT(*) AS n_rank1_self,
+                   CAST(0 AS BIGINT) AS n_missed
+            FROM part WHERE p_partkey <= 300
+        """,
+        "er_invariants_parts": """
+            SELECT COUNT(*) AS n_records,
+                   COUNT(*) AS n_assigned,
+                   CAST(0 AS BIGINT) AS n_multi_assigned,
+                   CAST(0 AS BIGINT) AS n_samekey_split,
+                   CAST(0 AS BIGINT) AS n_bad_center
+            FROM part
+        """,
+        # er_cluster_parts / ann_lsh_topk: rows-only (iterative fuzzy
+        # clustering assignment / seeded float hyperplanes — no SQL twin).
     }

@@ -85,6 +85,21 @@ def test_minhash_pairs_find_neardups(spark, docs):
     assert (1, 4) not in pairs and (3, 4) not in pairs
 
 
+def test_ivf_full_probe_equals_brute_force(spark):
+    """nprobe == n_cells degrades IVF gracefully to exact search."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(60)]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = v.where(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"], r["rank"])
+             for r in ann.brute_force_topk(q, v, k=3).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"], r["rank"])
+           for r in ann.ivf_topk(q, v, k=3, n_cells=6, nprobe=6).collect()}
+    assert ivf == exact
+
+
 def test_simhash_pairs(spark):
     """SimHash's hamming-locality property needs long documents (on short
     ones a single token flips many signature bits), so test on 50-token docs."""
