@@ -7,14 +7,19 @@ runtime has no Iceberg jar, so the same lifecycle is provided over parquet
 directories with snapshot metadata — the pipeline code is storage-agnostic
 through this module.
 
-Layout per table::
+Layout per table (Iceberg-style manifests: data directories are IMMUTABLE;
+a snapshot is a *list of data dirs*, so append commits are O(new data) —
+they write one new dir and extend the manifest, never rewriting history)::
 
-    <root>/<name>/snap-00000/   parquet files
-    <root>/<name>/snap-00001/
-    <root>/<name>/_meta.json    {"current": 1, "snapshots": [...]}
+    <root>/<name>/data-00000/   parquet files (immutable once committed)
+    <root>/<name>/data-00001/
+    <root>/<name>/_meta.json    {"current": 1, "snapshots":
+                                 [{"id": 0, "dirs": ["data-00000"], ...},
+                                  {"id": 1, "dirs": ["data-00000",
+                                                     "data-00001"], ...}]}
 
-Writes are write-new-snapshot-then-flip-pointer (atomic at the metadata
-level, like an Iceberg commit).
+Writes are write-new-files-then-flip-pointer (atomic at the metadata level,
+like an Iceberg commit). Time travel reads any retained snapshot's dir set.
 """
 
 from __future__ import annotations
@@ -47,27 +52,42 @@ class ParquetCatalog:
         tmp.write_text(json.dumps(meta, indent=1))
         tmp.replace(self._meta_path(name))
 
-    def _snap_dir(self, name: str, snap: int) -> Path:
-        return self.root / name / f"snap-{snap:05d}"
+    def _data_dir(self, name: str, idx: int) -> Path:
+        return self.root / name / f"data-{idx:05d}"
+
+    def _next_data_idx(self, meta: dict) -> int:
+        used = [int(d.split("-")[1]) for s in meta["snapshots"] for d in s["dirs"]]
+        return max(used) + 1 if used else 0
+
+    def _snapshot(self, meta: dict, snap_id: int) -> dict:
+        for s in meta["snapshots"]:
+            if s["id"] == snap_id:
+                return s
+        raise FileNotFoundError(f"snapshot {snap_id} not found")
 
     # -- core ops ----------------------------------------------------------
     def write(self, name: str, df: DataFrame, mode: str = "overwrite",
               partition_by: list[str] | None = None) -> int:
-        """Write a new snapshot and flip the current pointer (S5 analog)."""
+        """Commit a new snapshot (S5 analog).
+
+        ``append`` writes ONLY the new rows into a fresh immutable data dir
+        and extends the manifest — O(new data), the Iceberg append shape.
+        ``overwrite`` starts a fresh dir set.
+        """
         meta = self._meta(name)
         snap = meta["current"] + 1
+        idx = self._next_data_idx(meta)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(self._data_dir(name, idx)))
+        new_dir = self._data_dir(name, idx).name
         if mode == "append" and meta["current"] >= 0:
-            prev = self.read(df.sparkSession, name)
-            df = prev.unionByName(df)
-            writer = df.write.mode("overwrite")
-            if partition_by:
-                writer = writer.partitionBy(*partition_by)
-        writer.parquet(str(self._snap_dir(name, snap)))
+            dirs = list(self._snapshot(meta, meta["current"])["dirs"]) + [new_dir]
+        else:
+            dirs = [new_dir]
         meta["snapshots"].append(
-            {"id": snap, "ts": time.time(), "op": mode,
+            {"id": snap, "ts": time.time(), "op": mode, "dirs": dirs,
              "partition_by": partition_by or []}
         )
         meta["current"] = snap
@@ -81,14 +101,17 @@ class ParquetCatalog:
         snap = meta["current"] if snapshot is None else snapshot
         if snap < 0:
             raise FileNotFoundError(f"table {name} does not exist")
-        return spark.read.parquet(str(self._snap_dir(name, snap)))
+        dirs = self._snapshot(meta, snap)["dirs"]
+        return spark.read.parquet(*[str(self.root / name / d) for d in dirs])
 
     def compact(self, spark: SparkSession, name: str,
                 target_partitions: int | None = None,
                 sort_by: list[str] | None = None) -> int:
         """Rewrite data files: coalesce small files, optionally sort
         (Iceberg ``rewrite_data_files`` + sort_order; Delta OPTIMIZE/Z-order
-        analog — reference ``delta_utils.py:61-85``)."""
+        analog — reference ``delta_utils.py:61-85``). Produces a
+        single-dir snapshot; old dirs stay referenced by old snapshots
+        until expire_snapshots reclaims them."""
         df = self.read(spark, name)
         n = target_partitions or max(1, df.rdd.getNumPartitions() // 4)
         if sort_by:
@@ -99,16 +122,22 @@ class ParquetCatalog:
         return self.write(name, df, mode="overwrite")
 
     def expire_snapshots(self, name: str, keep_last: int = 2) -> list[int]:
-        """Delete all but the newest ``keep_last`` snapshots (Iceberg
+        """Drop all but the newest ``keep_last`` snapshots and delete data
+        dirs no longer referenced by any retained snapshot (Iceberg
         ``expire_snapshots``; Delta VACUUM analog — ``delta_utils.py:88-108``)."""
         import shutil
 
         meta = self._meta(name)
         snaps = sorted(s["id"] for s in meta["snapshots"])
         to_drop = snaps[:-keep_last] if keep_last else snaps
-        for s in to_drop:
-            shutil.rmtree(self._snap_dir(name, s), ignore_errors=True)
-        meta["snapshots"] = [s for s in meta["snapshots"] if s["id"] not in to_drop]
+        kept = [s for s in meta["snapshots"] if s["id"] not in to_drop]
+        live_dirs = {d for s in kept for d in s["dirs"]}
+        dead_dirs = {
+            d for s in meta["snapshots"] if s["id"] in to_drop for d in s["dirs"]
+        } - live_dirs
+        for d in dead_dirs:
+            shutil.rmtree(self.root / name / d, ignore_errors=True)
+        meta["snapshots"] = kept
         self._commit(name, meta)
         return to_drop
 
@@ -116,11 +145,11 @@ class ParquetCatalog:
                              updates: DataFrame, key: str) -> int:
         """``MERGE INTO ... WHEN NOT MATCHED THEN INSERT`` (the reference's
         only merge shape, ``delta_utils.py:154-186``): left-anti against the
-        current snapshot, append the remainder, commit a new snapshot."""
+        current snapshot, append ONLY the missing rows as a new data dir —
+        O(new data), existing files untouched."""
         try:
             cur = self.read(spark, name)
         except FileNotFoundError:
             return self.write(name, updates)
         fresh = updates.join(cur.select(key), key, "left_anti")
-        merged = cur.unionByName(fresh)
-        return self.write(name, merged, mode="overwrite")
+        return self.write(name, fresh, mode="append")

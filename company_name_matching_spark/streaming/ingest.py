@@ -22,20 +22,35 @@ from pyspark.sql import functions as F
 from company_name_matching_spark.operators import blocking, normalize
 
 
+N_BLOCK_BUCKETS = 64
+
+
 class IncrementalLinker:
-    """foreachBatch handler: maintains a cumulative names store and emits
-    candidate pairs involving at least one new record per micro-batch."""
+    """foreachBatch handler: maintains cumulative names AND blocks stores
+    and emits candidate pairs involving at least one new record per
+    micro-batch.
+
+    Per-batch cost is O(batch), not O(corpus): MinHash signatures are
+    computed ONLY for the batch's new records and appended to a persistent
+    blocks table (never recomputed — the round-1 version re-blocked the full
+    history every batch, a fatal scale bug for continuous ingest). The
+    blocks store is hash-partitioned on ``pmod(xxhash64(block_key), 64)``;
+    the pair join statically prunes the store to the batch's buckets (≤64
+    literal values collected driver-side) before the exact block_key join,
+    so a small batch touches a small fraction of stored files."""
 
     def __init__(self, store_dir: str, cfg: blocking.BlockingConfig | None = None):
         self.store_dir = store_dir
         self.cfg = cfg or blocking.BlockingConfig()
-        self._initialized = False
 
     def _names_path(self) -> str:
         return f"{self.store_dir}/names"
 
+    def _blocks_path(self) -> str:
+        return f"{self.store_dir}/blocks"
+
     def process_batch(self, pages_batch: DataFrame, batch_id: int) -> DataFrame:
-        """Normalize the batch, merge into the store (idempotent on
+        """Normalize the batch, merge into the stores (idempotent on
         record_id), and return new candidate pairs (new×all ∪ new×new)."""
         spark = pages_batch.sparkSession
         new_names = normalize.normalize_pages(pages_batch)
@@ -43,7 +58,6 @@ class IncrementalLinker:
             old_names = spark.read.parquet(self._names_path())
             seen = True
         except Exception:
-            old_names = None
             seen = False
 
         if seen:
@@ -54,16 +68,40 @@ class IncrementalLinker:
         new_names = new_names.localCheckpoint(eager=True)
         new_names.write.mode("append").parquet(self._names_path())
 
-        all_names = spark.read.parquet(self._names_path())
-        all_blocks = blocking.filter_blocks(
-            blocking.generate_blocks(all_names, self.cfg), self.cfg
+        # block ONLY the new records; append their blocks to the store
+        new_blocks = (
+            blocking.generate_blocks(new_names, self.cfg)
+            .withColumn(
+                "bucket", F.pmod(F.xxhash64("block_key"), F.lit(N_BLOCK_BUCKETS))
+            )
+            .localCheckpoint(eager=True)
         )
-        new_blocks = blocking.generate_blocks(new_names, self.cfg).join(
-            all_blocks.select("block_key").dropDuplicates(), "block_key"
+        new_blocks.write.mode("append").partitionBy("bucket").parquet(
+            self._blocks_path()
+        )
+
+        # bounded driver-side metadata: the batch's bucket ids (≤64 values)
+        # → static partition pruning of the stored blocks table
+        buckets = [
+            r["bucket"] for r in new_blocks.select("bucket").distinct().collect()
+        ]
+        stored = spark.read.parquet(self._blocks_path()).where(
+            F.col("bucket").isin(buckets)
+        )
+        # restrict to the batch's exact block keys (broadcast — one batch's
+        # key set is small), then apply the hot-block cap on the matched
+        # subset: all stored rows of a matched key are present, so per-key
+        # counts equal true block sizes
+        matched = stored.join(
+            F.broadcast(new_blocks.select("bucket", "block_key").dropDuplicates()),
+            ["bucket", "block_key"],
+        )
+        matched = blocking.filter_blocks(
+            matched.select("block_key", "record_id"), self.cfg
         )
         pairs = (
-            new_blocks.alias("l")
-            .join(all_blocks.alias("r"), "block_key")
+            new_blocks.select("block_key", "record_id").alias("l")
+            .join(matched.alias("r"), "block_key")
             .where(F.col("l.record_id") != F.col("r.record_id"))
             .select(
                 F.least("l.record_id", "r.record_id").alias("left_id"),

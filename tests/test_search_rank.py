@@ -107,6 +107,38 @@ def test_topk_deterministic_ties(spark):
     assert [r["candidate_id"] for r in out] == ["a", "b"]
 
 
+def test_catalog_append_is_o_new_data(spark, tmp_path):
+    """Iceberg-shaped append contract: committing new rows writes ONLY new
+    data files — every pre-existing parquet file is byte-identical after the
+    append (the round-1 version rewrote the whole table per append)."""
+    import os
+
+    from company_name_matching_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(str(tmp_path / "cat2"))
+    big = spark.range(0, 1000).withColumnRenamed("id", "k")
+    cat.write("t", big)
+    before = {
+        str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+        for p in (tmp_path / "cat2" / "t").rglob("*.parquet")
+    }
+    assert before
+    small = spark.range(1000, 1010).withColumnRenamed("id", "k")
+    s1 = cat.write("t", small, mode="append")
+    for path, sig in before.items():
+        st = os.stat(path)
+        assert (st.st_size, st.st_mtime_ns) == sig, f"rewritten: {path}"
+    assert cat.read(spark, "t").count() == 1010
+    assert cat.read(spark, "t", snapshot=s1 - 1).count() == 1000  # time travel
+    # merge-insert is O(new) too: only missing keys land in a new dir
+    upd = spark.range(1005, 1020).withColumnRenamed("id", "k")
+    cat.merge_insert_missing(spark, "t", upd, "k")
+    for path, sig in before.items():
+        st = os.stat(path)
+        assert (st.st_size, st.st_mtime_ns) == sig
+    assert cat.read(spark, "t").count() == 1020
+
+
 def test_catalog_lifecycle(spark, tmp_path):
     from company_name_matching_spark.sources.catalog import ParquetCatalog
 

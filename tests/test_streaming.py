@@ -41,6 +41,57 @@ def test_incremental_linker(spark, tmp_path):
     assert p2b.count() == 0  # nothing new → no new-vs-all pairs
 
 
+def test_incremental_blocking_never_rescans_history(spark, tmp_path):
+    """The scale contract of incremental ingest: per-batch signature work is
+    O(batch). Proof: (a) the blocks written for batch-1 records are never
+    rewritten or recomputed — their parquet data files are byte-identical
+    (path, size, mtime) after batch 2; (b) the blocks store grows by exactly
+    the new records' blocks (append-only, no per-record duplication)."""
+    import os
+    from pathlib import Path
+
+    store = str(tmp_path / "store")
+    linker = IncrementalLinker(store)
+
+    b1 = _pages(
+        spark,
+        [(f"u{i}", f"CÔNG TY TNHH SỐ {i} HÀ NỘI") for i in range(20)],
+    )
+    linker.process_batch(b1, 0)
+    blocks_dir = Path(store) / "blocks"
+    snap1 = {
+        str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+        for p in blocks_dir.rglob("*.parquet")
+    }
+    n1 = spark.read.parquet(str(blocks_dir)).count()
+    per_record_1 = (
+        spark.read.parquet(str(blocks_dir))
+        .groupBy("record_id").count().agg(F.max("count")).collect()[0][0]
+    )
+
+    b2 = _pages(spark, [("v1", "CÔNG TY CỔ PHẦN MỚI TINH")])
+    linker.process_batch(b2, 1)
+    # (a) batch-1 block files untouched
+    for path, (size, mtime) in snap1.items():
+        st = os.stat(path)
+        assert (st.st_size, st.st_mtime_ns) == (size, mtime), f"rewritten: {path}"
+    # (b) store grew by exactly the one new record's blocks
+    after = spark.read.parquet(str(blocks_dir))
+    n2 = after.count()
+    new_rec_blocks = (
+        after.join(
+            spark.read.parquet(f"{store}/names").where(F.col("url") == "v1")
+            .select("record_id"),
+            "record_id",
+        ).count()
+    )
+    assert n2 == n1 + new_rec_blocks
+    # no record's blocks were ingested twice
+    dup = after.groupBy("record_id", "block_key").count().where(F.col("count") > 1)
+    assert dup.count() == 0
+    assert per_record_1 is not None
+
+
 def test_streaming_foreachbatch_end_to_end(spark, tmp_path):
     """Drive the real writeStream path with a file streaming source."""
     from company_name_matching_spark.streaming.ingest import stream_pages
