@@ -271,6 +271,31 @@ def text_quality_langid(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def dup_group_names(spark, sf_dir):
+    """Duplicate-group audit metadata (stage2_deduplicate.py:106-148):
+    original_names per cleaned-name group via the salted two-phase
+    collect_list (SURVEY A1), joined to a string for cross-engine hashing."""
+    from company_name_matching_spark.operators.normalize import (
+        clean_name_udf,
+        group_original_names,
+    )
+
+    p = _t(spark, sf_dir, "part").select(
+        clean_name_udf("p_name").alias("norm_key"), F.col("p_name").alias("name")
+    )
+    grouped = group_original_names(p, cap=100)
+    sizes = p.groupBy("norm_key").agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        grouped.join(sizes, "norm_key")
+        .select(
+            "norm_key",
+            "group_size",
+            F.array_join("original_names", "|").alias("original_names"),
+        )
+        .orderBy("norm_key")
+    )
+
+
 BM25_QUERY_TERMS = ["spark", "table", "join"]
 
 
@@ -448,6 +473,71 @@ def top3_parts_per_brand(spark, sf_dir):
     )
 
 
+def _part_two_stages(spark, sf_dir):
+    """Two retrievers over parts per brand: stage1 = retail price (the cheap
+    'sparse' stage), stage2 = size (the 'dense' rerank stage)."""
+    p = _t(spark, sf_dir, "part")
+    s1 = p.select(
+        F.col("p_brand").alias("query_id"),
+        F.col("p_partkey").alias("candidate_id"),
+        F.col("p_retailprice").alias("score"),
+    )
+    s2 = p.select(
+        F.col("p_brand").alias("query_id"),
+        F.col("p_partkey").alias("candidate_id"),
+        F.col("p_size").cast("double").alias("score"),
+    )
+    return s1, s2
+
+
+def tfidf_rerank_parts(spark, sf_dir):
+    """V8 two-stage rerank (matcher.py:428-447 shape) as a named operator."""
+    from company_name_matching_spark.operators import rank
+
+    s1, s2 = _part_two_stages(spark, sf_dir)
+    return (
+        rank.tfidf_rerank(s1, s2, rerank_n=5)
+        .select(
+            F.col("query_id").alias("p_brand"),
+            F.col("candidate_id").alias("p_partkey"),
+            "rerank_score",
+        )
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+def union_rerank_parts(spark, sf_dir):
+    """V9 union rerank (matcher.py:449-475 shape) as a named operator."""
+    from company_name_matching_spark.operators import rank
+
+    s1, s2 = _part_two_stages(spark, sf_dir)
+    return (
+        rank.union_rerank(s1, s2, rerank_n=5)
+        .select(
+            F.col("query_id").alias("p_brand"),
+            F.col("candidate_id").alias("p_partkey"),
+            "rerank_score",
+        )
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+def match_confidence_tiers(spark, sf_dir):
+    """stage4_match.py:121-127 confidence tiers over real similarity scores
+    (the prefix-join jaccard pairs span the high/medium boundary)."""
+    from company_name_matching_spark.operators import dedup
+    from company_name_matching_spark.operators.search import confidence_tier
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs_prefix(d, block_col="lang", threshold=0.8)
+    return (
+        pairs.select(confidence_tier(F.col("jaccard")).alias("match_confidence"))
+        .groupBy("match_confidence")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("match_confidence")
+    )
+
+
 def search_parts_self(spark, sf_dir):
     """Search self-recovery invariant, ORACLE-BACKED: every part name,
     uppercased and queried against the part corpus, must recover itself in
@@ -574,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_latest_per_user_type": events_latest_per_user_type,
         "norm_fold_accents": norm_fold_accents,
         "norm_clean_names": norm_clean_names,
+        "dup_group_names": dup_group_names,
         "text_stats": text_stats,
         "text_quality_langid": text_quality_langid,
         "bm25_docs": bm25_docs,
@@ -590,6 +681,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "rrf_part_ranking": rrf_part_ranking,
         "top3_parts_per_brand": top3_parts_per_brand,
+        "tfidf_rerank_parts": tfidf_rerank_parts,
+        "union_rerank_parts": union_rerank_parts,
+        "match_confidence_tiers": match_confidence_tiers,
         "search_parts_self": search_parts_self,
         "er_cluster_parts": er_cluster_parts,
         "er_invariants_parts": er_invariants_parts,

@@ -122,12 +122,47 @@ def normalize_pages(pages: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def dedup_exact(names: DataFrame, keep: str = "longest") -> DataFrame:
+def group_original_names(
+    names: DataFrame,
+    key_col: str = "norm_key",
+    name_col: str = "name",
+    cap: int = 100,
+    n_salts: int = 16,
+) -> DataFrame:
+    """``original_names`` group metadata (``stage2_deduplicate.py:106-148``)
+    as a TWO-PHASE SALTED collect_list (SURVEY A1's skew note): phase 1
+    aggregates within (key, salt) shards so no single reducer materializes a
+    hot group's full list; phase 2 merges ≤ ``n_salts`` already-capped
+    partials. Deterministic: each phase sorts before capping, and the
+    lexicographically smallest ``cap`` names of the group always survive the
+    per-salt cap (each is within its own salt's smallest ``cap``), so the
+    result equals a global sort+slice regardless of partitioning.
+
+    Returns (key_col, original_names: array<string> sorted, capped).
+    """
+    salted = names.select(key_col, name_col).withColumn(
+        "_salt", F.pmod(F.xxhash64(name_col), F.lit(n_salts))
+    )
+    p1 = salted.groupBy(key_col, "_salt").agg(
+        F.slice(F.sort_array(F.collect_list(name_col)), 1, cap).alias("_part")
+    )
+    return p1.groupBy(key_col).agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("_part"))), 1, cap
+        ).alias("original_names")
+    )
+
+
+def dedup_exact(
+    names: DataFrame, keep: str = "longest", collect_names: int = 0
+) -> DataFrame:
     """Exact dedup by ``norm_key`` with the reference's window semantics
     (``stage2_deduplicate.py:79-99``) but a deterministic tiebreaker
     (``xxhash64(name)`` instead of ``monotonically_increasing_id``).
 
-    Returns one canonical row per norm_key plus group metadata.
+    Returns one canonical row per norm_key plus group metadata. With
+    ``collect_names > 0``, attaches the reference's ``original_names`` audit
+    column (capped, sorted) via the salted two-phase aggregation.
     """
     from pyspark.sql.window import Window
 
@@ -137,10 +172,15 @@ def dedup_exact(names: DataFrame, keep: str = "longest") -> DataFrame:
         order = [F.xxhash64("name").asc()]
     w = Window.partitionBy("norm_key").orderBy(*order)
     grp = Window.partitionBy("norm_key")
-    return (
+    out = (
         names.withColumn("_rn", F.row_number().over(w))
         .withColumn("duplicate_group_size", F.count(F.lit(1)).over(grp))
         .where(F.col("_rn") == 1)
         .drop("_rn")
         .withColumn("is_duplicate", F.col("duplicate_group_size") > 1)
     )
+    if collect_names > 0:
+        out = out.join(
+            group_original_names(names, cap=collect_names), "norm_key", "left"
+        )
+    return out

@@ -10,6 +10,10 @@ Distributed, window-based re-expressions of the reference's fusion suite
 * :func:`adaptive_rerank`   — rerank only when the top1-top2 gap is below a
   threshold (``matcher.py:477-509``): ``lead(score)`` gap test gates a
   second-stage score, per query, with zero driver involvement.
+* :func:`tfidf_rerank`      — V8 two-stage (``matcher.py:428-447``): stage-1
+  top-N shortlist per query, final order by the stage-2 score.
+* :func:`union_rerank`      — V9 (``matcher.py:449-475``): union of BOTH
+  stages' top-N shortlists, final order by the stage-2 score.
 * :func:`topk`              — windowed top-k with deterministic tiebreak
   (the reference's driver-side argsort, ``matcher.py:597``).
 """
@@ -74,6 +78,53 @@ def weighted_fuse(df: DataFrame, weights: dict[str, float],
         t = F.lit(w) * F.col(col)
         expr = t if expr is None else expr + t
     return df.withColumn(out_col, expr)
+
+
+def tfidf_rerank(
+    stage1: DataFrame, stage2: DataFrame, rerank_n: int = 50,
+    query_col: str = "query_id", cand_col: str = "candidate_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """V8 two-stage rerank (``matcher.py:428-447``): the cheap stage-1
+    retriever shortlists its top ``rerank_n`` candidates per query; the
+    final score is the best stage-2 score per shortlisted candidate
+    (candidates the second stage never scored get 0.0, as the reference's
+    ``np.zeros`` baseline does). Both inputs are (query, candidate, score);
+    output is (query, candidate, rerank_score)."""
+    shortlist = topk(stage1, rerank_n, query_col, score_col, cand_col).select(
+        query_col, cand_col
+    )
+    best2 = stage2.groupBy(query_col, cand_col).agg(
+        F.max(score_col).alias("_s2")
+    )
+    return shortlist.join(best2, [query_col, cand_col], "left").select(
+        query_col, cand_col,
+        F.round(F.coalesce(F.col("_s2"), F.lit(0.0)), 6).alias("rerank_score"),
+    )
+
+
+def union_rerank(
+    stage1: DataFrame, stage2: DataFrame, rerank_n: int = 50,
+    query_col: str = "query_id", cand_col: str = "candidate_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """V9 union rerank (``matcher.py:449-475``): shortlist = union of the
+    two retrievers' per-query top-N (dropDuplicates), final score = best
+    stage-2 score over the union."""
+    s1 = topk(stage1, rerank_n, query_col, score_col, cand_col).select(
+        query_col, cand_col
+    )
+    s2 = topk(stage2, rerank_n, query_col, score_col, cand_col).select(
+        query_col, cand_col
+    )
+    union = s1.unionByName(s2).dropDuplicates([query_col, cand_col])
+    best2 = stage2.groupBy(query_col, cand_col).agg(
+        F.max(score_col).alias("_s2")
+    )
+    return union.join(best2, [query_col, cand_col], "left").select(
+        query_col, cand_col,
+        F.round(F.coalesce(F.col("_s2"), F.lit(0.0)), 6).alias("rerank_score"),
+    )
 
 
 def adaptive_rerank(

@@ -172,6 +172,12 @@ def build_oracles() -> dict[str, str]:
             SELECT p_partkey, {clean_name_sql('p_name')} AS cleaned
             FROM part ORDER BY p_partkey
         """,
+        "dup_group_names": f"""
+            SELECT {clean_name_sql('p_name')} AS norm_key,
+                   COUNT(*) AS group_size,
+                   array_to_string(list_sort(list(p_name))[1:100], '|') AS original_names
+            FROM part GROUP BY 1 ORDER BY 1
+        """,
         "text_stats": f"""
             SELECT doc_id,
                    len({toks}) AS n_tokens,
@@ -424,6 +430,62 @@ def build_oracles() -> dict[str, str]:
             FROM scored
             QUALIFY rank <= 5
             ORDER BY query_id, rank
+        """,
+        "tfidf_rerank_parts": """
+            WITH s1 AS (
+                SELECT p_brand, p_partkey,
+                       ROW_NUMBER() OVER (PARTITION BY p_brand
+                           ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+                FROM part
+            )
+            SELECT s.p_brand, s.p_partkey,
+                   ROUND(COALESCE(CAST(p.p_size AS DOUBLE), 0.0), 6) AS rerank_score
+            FROM s1 s JOIN part p
+                 ON s.p_brand = p.p_brand AND s.p_partkey = p.p_partkey
+            WHERE s.rn <= 5
+            ORDER BY 1, 2
+        """,
+        "union_rerank_parts": """
+            WITH s1 AS (
+                SELECT p_brand, p_partkey,
+                       ROW_NUMBER() OVER (PARTITION BY p_brand
+                           ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+                FROM part
+            ), s2 AS (
+                SELECT p_brand, p_partkey,
+                       ROW_NUMBER() OVER (PARTITION BY p_brand
+                           ORDER BY CAST(p_size AS DOUBLE) DESC, p_partkey ASC) AS rn
+                FROM part
+            ), u AS (
+                SELECT p_brand, p_partkey FROM s1 WHERE rn <= 5
+                UNION
+                SELECT p_brand, p_partkey FROM s2 WHERE rn <= 5
+            )
+            SELECT u.p_brand, u.p_partkey,
+                   ROUND(COALESCE(CAST(p.p_size AS DOUBLE), 0.0), 6) AS rerank_score
+            FROM u JOIN part p
+                 ON u.p_brand = p.p_brand AND u.p_partkey = p.p_partkey
+            ORDER BY 1, 2
+        """,
+        "match_confidence_tiers": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+                FROM documents
+            ), j AS (
+                SELECT ROUND(CAST(len(l.toks) + len(r.toks)
+                                  - len(list_distinct(l.toks || r.toks)) AS DOUBLE)
+                             / len(list_distinct(l.toks || r.toks)), 6) AS jaccard
+                FROM t l JOIN t r ON l.lang = r.lang AND l.doc_id < r.doc_id
+                WHERE CAST(len(l.toks) + len(r.toks)
+                           - len(list_distinct(l.toks || r.toks)) AS DOUBLE)
+                      / len(list_distinct(l.toks || r.toks)) >= 0.8
+            )
+            SELECT CASE WHEN jaccard >= 0.90 THEN 'high'
+                        WHEN jaccard >= 0.75 THEN 'medium'
+                        ELSE 'low' END AS match_confidence,
+                   COUNT(*) AS n
+            FROM j GROUP BY 1 ORDER BY 1
         """,
         # Invariant oracles: the fuzzy engine output is not SQL-computable,
         # but its must-hold properties are a-priori known constants — any

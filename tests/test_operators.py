@@ -57,6 +57,40 @@ def test_dedup_exact_keeps_longest(spark):
     assert len(dup[0]["name"]) == max(len(rows[0][3]), len(rows[1][3]))
 
 
+def test_group_original_names_salted_cap_deterministic(spark):
+    """A hot group bigger than the cap: the salted two-phase aggregation
+    must return exactly the lexicographically smallest `cap` names (i.e.
+    equal a global sort+slice), independent of partitioning."""
+    rows = [("k", f"name{i:03d}") for i in range(250)] + [("k2", "solo")]
+    df = spark.createDataFrame(rows, "norm_key string, name string")
+    for parts in (1, 7):
+        out = {
+            r["norm_key"]: r["original_names"]
+            for r in normalize.group_original_names(
+                df.repartition(parts), cap=100
+            ).collect()
+        }
+        assert out["k"] == sorted(f"name{i:03d}" for i in range(250))[:100]
+        assert out["k2"] == ["solo"]
+
+
+def test_dedup_exact_collect_names(spark):
+    import datetime as dt
+
+    rows = [
+        ("u1", dt.datetime(2026, 1, 1), b"x", "CÔNG TY TNHH SỮA VIỆT NAM  ", "vi", "e", "k"),
+        ("u2", dt.datetime(2026, 1, 1), b"x", "cong ty tnhh sua viet nam", "vi", "e", "k"),
+        ("u3", dt.datetime(2026, 1, 1), b"x", "CP KHÁC BIỆT", "vi", "e", "k"),
+    ]
+    names = normalize.normalize_pages(
+        spark.createDataFrame(rows, fixtures.PAGES_SCHEMA)
+    )
+    out = normalize.dedup_exact(names, keep="longest", collect_names=10)
+    dup = [r for r in out.collect() if r["is_duplicate"]]
+    assert len(dup) == 1
+    assert dup[0]["original_names"] == sorted([rows[0][3], rows[1][3]])
+
+
 def test_blocking_variants_share_block(spark):
     _, names = _names(spark, 30, 4)
     blocks = blocking.generate_blocks(names)
