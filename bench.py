@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "docs_minhash_neardup",
     "emb_neardup",
     "ann_topk",
+    "ann_ivf_topk",
+    "tfidf_rerank_parts",
+    "dup_group_names",
 ]
 
 
