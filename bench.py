@@ -26,6 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# one long-lived JVM runs the ER pipeline AND every query: at 32 threads an
+# 8g heap GC-thrashes on the later heavy joins (measured 2x slowdowns);
+# 16g removes the artifact (the box has 125 GB)
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
 
 # queries worth timing at the bench scale (mix of agg/join/window/UDF/pair ops)
 BENCH_QUERIES = [
@@ -88,19 +92,33 @@ def main() -> None:
     )
     n_pages = pages.count()
 
-    t0 = time.monotonic()
-    res = run_pipeline(spark, pages)
-    pairs_scored = res.matches.count()
-    n_clusters = res.clusters.select("cluster_id").distinct().count()
-    er_sec = time.monotonic() - t0
+    # best-of-2 with FRESH checkpoint dirs each run (a shared dir would
+    # resume instead of recompute); host drift is ±30% over minutes
+    import tempfile
+
+    er_sec = None
+    for _ in range(2):
+        ckdir = tempfile.mkdtemp(prefix="bench_er_", dir="/dev/shm")
+        t0 = time.monotonic()
+        res = run_pipeline(spark, pages, checkpoint_dir=ckdir)
+        pairs_scored = res.matches.count()
+        n_clusters = res.clusters.select("cluster_id").distinct().count()
+        dt = time.monotonic() - t0
+        er_sec = dt if er_sec is None or dt < er_sec else er_sec
 
     # --- per-query timings at the sf dir ---
+    # best-of-2: this host's throughput drifts ±30% over minutes (see
+    # BENCH.md); min of two runs is the least-contaminated estimate
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        _materialize(queries[name](spark, SF_DIR))
-        qtimes[name] = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            _materialize(queries[name](spark, SF_DIR))
+            dt = time.monotonic() - t0
+            best = dt if best is None or dt < best else best
+        qtimes[name] = round(best, 3)
 
     out = {
         "metric": "er_pipeline_sec",

@@ -151,12 +151,8 @@ def jaccard_pairs_prefix(
     # (0.8*5 = 4.000000000000001 → ceil 5 would LOSE pairs); the epsilon can
     # only lengthen prefixes, never shorten them, so losslessness holds
     prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
-    prefix = (
-        tok.join(df_t, "tok")
-        .withColumn("_p", F.row_number().over(w))
-        .where(F.col("_p") <= prefix_len)
-        .select("id", "bk", "tok", "n")
-    )
+    ranked = tok.join(df_t, "tok").withColumn("_p", F.row_number().over(w))
+    prefix = ranked.where(F.col("_p") <= prefix_len).select("id", "bk", "tok", "n")
     cand = (
         prefix.alias("l")
         .join(prefix.alias("r"), ["bk", "tok"])
@@ -170,10 +166,19 @@ def jaccard_pairs_prefix(
         .select(F.col("l.id").alias("left_id"), F.col("r.id").alias("right_id"))
         .dropDuplicates(["left_id", "right_id"])
     )
-    lt = d.select(F.col("id").alias("left_id"), F.col("toks").alias("l_toks"),
-                  F.col("n").alias("l_n"))
-    rt = d.select(F.col("id").alias("right_id"), F.col("toks").alias("r_toks"),
-                  F.col("n").alias("r_n"))
+    # verify on INTEGER token-id arrays: |A∩B| is invariant under the
+    # injective token→xxhash64 mapping (64-bit collisions within a ≤1e6-token
+    # doc are ~1e-12), and int intersects shuffle less and compare faster
+    # than string arrays — the verify join is the dominant cost at scale
+    ids = materialize(
+        d.select("id", F.expr("transform(toks, t -> xxhash64(t))").alias("tids"),
+                 "n"),
+        "ppj_tids",
+    )
+    lt = ids.select(F.col("id").alias("left_id"), F.col("tids").alias("l_toks"),
+                    F.col("n").alias("l_n"))
+    rt = ids.select(F.col("id").alias("right_id"), F.col("tids").alias("r_toks"),
+                    F.col("n").alias("r_n"))
     inter = F.size(F.array_intersect("l_toks", "r_toks"))
     return (
         cand.join(lt, "left_id")
@@ -233,14 +238,18 @@ def minhash_pairs(
     )
     # verify candidates with exact trigram-set Jaccard (JVM-native).
     # Trigram arrays are materialized once per doc (docs appear in many
-    # candidate pairs; recomputing the shingle scan per pair dominates) and
-    # the size-ratio prune runs before the intersection.
+    # candidate pairs; recomputing the shingle scan per pair dominates),
+    # the size-ratio prune runs before the intersection, and the intersect
+    # runs on xxhash64 token ids — |A∩B| is invariant under the injective
+    # mapping and int arrays shuffle/compare far cheaper than strings.
     from company_name_matching_spark.operators.scoring import trigram_strings_col
     from company_name_matching_spark.sources.store import materialize
 
     tg_arr = F.array_distinct(trigram_strings_col(F.col("ctext")))
     tg = materialize(
-        d.select("id", tg_arr.alias("tg"), F.size(tg_arr).alias("n")), "mh_tg"
+        d.select("id", tg_arr.alias("tg_s"), F.size(tg_arr).alias("n"))
+        .select("id", F.expr("transform(tg_s, t -> xxhash64(t))").alias("tg"), "n"),
+        "mh_tg",
     )
     cand = (
         cand.join(

@@ -30,6 +30,8 @@ for name in sorted(Q):
         got = canon(Q[name](spark, SF).toPandas())
         if name in O:
             want = canon(con.sql(O[name]).df())
+            gk = [d.kind for d in got.dtypes]; wk = [d.kind for d in want.dtypes]
+            assert gk == wk, f"dtype-class mismatch (driver hash is type-sensitive): {list(zip(got.columns, gk, wk))}"
             pd.testing.assert_frame_equal(got, want, check_exact=True, check_dtype=False)
             print(f"OK   {name}: {len(got)} rows (oracle exact)")
         else:
