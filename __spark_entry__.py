@@ -271,6 +271,20 @@ def text_quality_langid(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def text_bpe_tokens(spark, sf_dir):
+    """LLM-token budgeting: whitespace tokens vs GPT-2-style pre-tokenizer
+    segments per document, plus the corpus totals a data pipeline reports."""
+    from company_name_matching_spark.functions import textstats as ts
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        ts.token_count(t).alias("n_ws_tokens"),
+        ts.bpe_token_count(t).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
 def dup_group_names(spark, sf_dir):
     """Duplicate-group audit metadata (stage2_deduplicate.py:106-148):
     original_names per cleaned-name group via the salted two-phase
@@ -667,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_group_names": dup_group_names,
         "text_stats": text_stats,
         "text_quality_langid": text_quality_langid,
+        "text_bpe_tokens": text_bpe_tokens,
         "bm25_docs": bm25_docs,
         "docs_fingerprint_groups": docs_fingerprint_groups,
         "docs_keep_longest": docs_keep_longest,

@@ -31,6 +31,20 @@ def distinct_token_count(text: Column) -> Column:
     return F.size(F.array_distinct(tokens_col(text)))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to the RE2-compatible subset
+# (no lookahead) so a DuckDB oracle can reproduce counts bit-for-bit:
+# contractions | space+letters | space+digits | space+other | whitespace.
+# This is the "BPE-ish" LLM token ESTIMATOR for training-data budgeting —
+# counts pre-tokenizer segments, not merged BPE ids (a real vocab merge
+# changes counts by a roughly constant factor per language).
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """LLM-token estimate per document (GPT-2 pre-tokenizer segments)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0)))
+
+
 def stopword_ratio(text: Column) -> Column:
     toks = tokens_col(F.lower(text))
     sw = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))

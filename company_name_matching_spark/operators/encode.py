@@ -1,0 +1,114 @@
+"""Dense-embedding encode seam — the reference's dense channel
+(``matcher.py:267-331``: SentenceTransformer / LSA vectors feeding the
+tfidf-rerank / union-rerank / adaptive fusion strategies) re-expressed as
+Arrow-batched Spark plumbing with a PLUGGABLE encoder.
+
+No embedding model ships in this environment (no torch), so the default
+:func:`hash_encoder` is a deterministic bag-of-hashed-tokens stand-in — it
+exercises every piece of the distributed plumbing (batching, schema,
+partition shape, cosine scoring, rerank integration) and is NOT a semantic
+model. Swapping it for a real model is one function: any
+``list[str] -> np.ndarray[n, dim]`` callable works, e.g. a
+``SentenceTransformer.encode`` closure or a Spark-ML
+``predict_batch_udf``-wrapped torch model. The callable is constructed ON
+THE EXECUTOR (lazily, once per worker) via the factory argument, the
+standard pattern for shipping model state without serializing it through
+the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EncoderFactory = Callable[[], Callable[[list[str]], np.ndarray]]
+
+
+def hash_encoder(dim: int = 64) -> Callable[[list[str]], np.ndarray]:
+    """Deterministic stand-in encoder: L2-normalized bag of hashed tokens.
+
+    Properties that make it a faithful plumbing test double: deterministic
+    across processes (md5, not Python hash), permutation-invariant over
+    tokens (like mean-pooled embeddings), identical texts → cosine 1.0,
+    disjoint token sets → cosine ≈ 0.
+    """
+
+    def encode(texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), dim), dtype=np.float32)
+        for i, t in enumerate(texts):
+            for tok in str(t or "").lower().split():
+                h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+                out[i, h % dim] += 1.0 if (h >> 63) & 1 else -1.0
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return out / norms
+
+    return encode
+
+
+def encode_texts(
+    df: DataFrame,
+    encoder_factory: EncoderFactory | None = None,
+    id_col: str = "record_id",
+    text_col: str = "name",
+    out_col: str = "embedding",
+    batch_size: int = 1024,
+) -> DataFrame:
+    """(id, text) → (id, embedding: array<float>) via ``mapInPandas``.
+
+    Arrow-batched; the encoder is instantiated once per python worker (the
+    factory runs executor-side), then applied to ``batch_size`` slices —
+    the exact shape a GPU model wants. Output partitioning follows the
+    input (no shuffle)."""
+    factory = encoder_factory or (lambda: hash_encoder())
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, {out_col} array<float>"
+    src = df.select(id_col, text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        enc = factory()  # once per worker, executor-side
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start:start + batch_size]
+                vecs = enc(chunk[text_col].tolist())
+                yield pd.DataFrame(
+                    {id_col: chunk[id_col].values,
+                     out_col: [v for v in np.asarray(vecs, dtype=np.float32)]}
+                )
+
+    return src.mapInPandas(run, schema=schema)
+
+
+def dense_pair_scores(
+    left: DataFrame,
+    right: DataFrame,
+    pairs: DataFrame,
+    encoder_factory: EncoderFactory | None = None,
+    left_id: str = "query_id",
+    right_id: str = "candidate_id",
+    left_text: str = "query_text",
+    right_text: str = "name",
+) -> DataFrame:
+    """Dense cosine for given (left, right) id pairs → (ids..., score).
+
+    Encode each side ONCE (not per pair), join vectors to the pair list,
+    score with the JVM-native cosine — the distributed twin of the
+    reference's dense rerank stage. Compose with ``rank.tfidf_rerank`` /
+    ``rank.union_rerank`` as the stage-2 input."""
+    from company_name_matching_spark.operators.dedup import cosine_col
+
+    lv = encode_texts(left, encoder_factory, left_id, left_text, "l_v")
+    rv = encode_texts(right, encoder_factory, right_id, right_text, "r_v")
+    return (
+        pairs.join(lv, left_id)
+        .join(rv, right_id)
+        .select(
+            left_id, right_id,
+            F.round(cosine_col(F.col("l_v"), F.col("r_v")), 6).alias("score"),
+        )
+    )

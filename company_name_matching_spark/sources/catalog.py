@@ -66,6 +66,17 @@ class ParquetCatalog:
         raise FileNotFoundError(f"snapshot {snap_id} not found")
 
     # -- core ops ----------------------------------------------------------
+    def create_table(self, spark: SparkSession, name: str,
+                     schema: str | None = None) -> int | None:
+        """Explicit CREATE TABLE IF NOT EXISTS (S9; the reference's
+        ``delta_utils.create_table_if_not_exists``, delta_utils.py:111-151):
+        no-op when the table exists, otherwise commits an EMPTY snapshot
+        with the given DDL schema (e.g. ``"id BIGINT, name STRING"``)."""
+        if self._meta(name)["current"] >= 0:
+            return None
+        empty = spark.createDataFrame([], schema or "id BIGINT")
+        return self.write(name, empty, mode="overwrite")
+
     def write(self, name: str, df: DataFrame, mode: str = "overwrite",
               partition_by: list[str] | None = None) -> int:
         """Commit a new snapshot (S5 analog).

@@ -197,6 +197,14 @@ def build_oracles() -> dict[str, str]:
                         ELSE 'other' END AS pred_lang
             FROM documents ORDER BY doc_id
         """,
+        "text_bpe_tokens": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                       AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
         "bm25_docs": """
             WITH toks AS (
                 SELECT doc_id AS doc, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term

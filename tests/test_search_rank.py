@@ -107,6 +107,32 @@ def test_topk_deterministic_ties(spark):
     assert [r["candidate_id"] for r in out] == ["a", "b"]
 
 
+def test_create_table_ddl_and_quality_alerts(spark, tmp_path):
+    from company_name_matching_spark.plans import quality
+    from company_name_matching_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(str(tmp_path / "catddl"))
+    s = cat.create_table(spark, "t", "id BIGINT, name STRING")
+    assert s == 0
+    df = cat.read(spark, "t")
+    assert df.count() == 0 and df.columns == ["id", "name"]
+    # idempotent: second create is a no-op, table content untouched
+    assert cat.create_table(spark, "t", "other STRING") is None
+    assert cat.read(spark, "t").columns == ["id", "name"]
+
+    matches = spark.createDataFrame(
+        [(0.95, True), (0.91, True), (0.40, False), (0.80, True)],
+        "score double, is_match boolean",
+    )
+    m = quality.match_quality_metrics(matches)
+    assert m["n_pairs"] == 4 and abs(m["high_confidence_rate"] - 0.5) < 1e-9
+    assert quality.check_quality_alerts(m, {"avg_score": 0.5}) == []
+    alerts = quality.check_quality_alerts(
+        m, {"avg_score": 0.9, "high_confidence_rate": 0.7}
+    )
+    assert len(alerts) == 2 and all(a.startswith("ALERT") for a in alerts)
+
+
 def test_catalog_append_is_o_new_data(spark, tmp_path):
     """Iceberg-shaped append contract: committing new rows writes ONLY new
     data files — every pre-existing parquet file is byte-identical after the
