@@ -660,6 +660,47 @@ def er_invariants_parts(spark, sf_dir):
     )
 
 
+def er_cluster_exact_parts(spark, sf_dir):
+    """The ITERATIVE connected-components operator under a true oracle: run
+    the real large-/small-star CC (clustering.py) over exact-match-key
+    edges. For ASCII part names the match key equals the cleaned name (the
+    alias layer is a no-op — proven by the dup_group_names oracle), so the
+    ground-truth clustering is SQL-expressible: records sharing a cleaned
+    name form one cluster whose id is the group's min p_partkey. Any CC bug
+    (lost edges, wrong convergence, bad center election) turns this red."""
+    from company_name_matching_spark.operators import clustering, normalize
+
+    p = _t(spark, sf_dir, "part")
+    names = normalize.normalize_mentions(
+        p.select(F.col("p_partkey").cast("string").alias("pid"),
+                 F.col("p_name").alias("text")),
+        "pid", "text",
+    )
+    # exact edges: records sharing a match_key (star to the group min —
+    # linear edge count, same component structure as all-pairs)
+    grp_min = names.groupBy("match_key").agg(F.min("record_id").alias("dst"))
+    edges = (
+        names.join(grp_min, "match_key")
+        .where(F.col("record_id") != F.col("dst"))
+        .select(F.col("record_id").alias("src"), "dst")
+    )
+    labels, _ = clustering.connected_components(edges)
+    labels = clustering.attach_singletons(labels, names)
+    ids = names.select("record_id", F.col("source_id").cast("long").alias("p_partkey"))
+    # cluster_id is the component's min record HASH (engine-internal);
+    # project to the cross-engine-comparable key: min p_partkey per cluster
+    return (
+        labels.join(ids, "record_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.min("p_partkey").alias("cluster_min_partkey"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .select("cluster_min_partkey", "cluster_size")
+        .orderBy("cluster_min_partkey")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return er_cluster_parts(spark, "/root/testdata/sf0.001")
@@ -701,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_confidence_tiers": match_confidence_tiers,
         "search_parts_self": search_parts_self,
         "er_cluster_parts": er_cluster_parts,
+        "er_cluster_exact_parts": er_cluster_exact_parts,
         "er_invariants_parts": er_invariants_parts,
     }
 

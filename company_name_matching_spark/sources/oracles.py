@@ -504,6 +504,13 @@ def build_oracles() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS n_missed
             FROM part WHERE p_partkey <= 300
         """,
+        "er_cluster_exact_parts": f"""
+            SELECT MIN(p_partkey) AS cluster_min_partkey,
+                   COUNT(*) AS cluster_size
+            FROM part
+            GROUP BY {clean_name_sql('p_name')}
+            ORDER BY 1
+        """,
         "er_invariants_parts": """
             SELECT COUNT(*) AS n_records,
                    COUNT(*) AS n_assigned,
