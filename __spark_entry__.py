@@ -437,6 +437,24 @@ def multimodal_features(spark, sf_dir):
     ).orderBy("content_id")
 
 
+def multimodal_resize(spark, sf_dir):
+    """Image-resize plumbing under an exact oracle: decode is the declared
+    deterministic fake (md5 bytes -> 4x4 gray), but the mean-pool resize is
+    real image math, Arrow-batched via mapInPandas — and md5 bytes are
+    reproducible in DuckDB, so the 2x2 output pixels hash-match exactly."""
+    from company_name_matching_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents")
+    r = multimodal.resize_images(multimodal.attach_binary(d), out_side=2)
+    return r.select(
+        "content_id",
+        F.element_at("pixels", 1).alias("p00"),
+        F.element_at("pixels", 2).alias("p01"),
+        F.element_at("pixels", 3).alias("p10"),
+        F.element_at("pixels", 4).alias("p11"),
+    ).orderBy("content_id")
+
+
 # ---------------------------------------------------------------------------
 # Rank fusion / rerank (SURVEY.md V7/V10/W3/W4)
 # ---------------------------------------------------------------------------
@@ -735,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "multimodal_meta": multimodal_meta,
         "multimodal_features": multimodal_features,
+        "multimodal_resize": multimodal_resize,
         "rrf_part_ranking": rrf_part_ranking,
         "top3_parts_per_brand": top3_parts_per_brand,
         "tfidf_rerank_parts": tfidf_rerank_parts,

@@ -301,6 +301,26 @@ def build_oracles() -> dict[str, str]:
                               ELSE 0.0 END, 6) AS mean_tok_len
             FROM documents ORDER BY content_id
         """,
+        # resize oracle: pixel (r,c) of the 2x2 mean-pool over the 4x4 fake
+        # image whose row-major bytes are md5(text) bytes 0..15; byte j =
+        # ('0x' || substr(md5, 2j+1, 2))::INT. Means of 4 uint8s over 4.0
+        # are exact binary fractions, so ROUND(..,6) matches bit-for-bit.
+        "multimodal_resize": """
+            WITH b AS (
+                SELECT doc_id AS content_id, md5(text) AS h FROM documents
+            ), px AS (
+                SELECT content_id,
+                       [('0x' || substring(h, 2*j + 1, 2))::INT
+                        for j in range(0, 16)] AS p
+                FROM b
+            )
+            SELECT content_id,
+                   ROUND((p[1] + p[2] + p[5] + p[6]) / 4.0, 6) AS p00,
+                   ROUND((p[3] + p[4] + p[7] + p[8]) / 4.0, 6) AS p01,
+                   ROUND((p[9] + p[10] + p[13] + p[14]) / 4.0, 6) AS p10,
+                   ROUND((p[11] + p[12] + p[15] + p[16]) / 4.0, 6) AS p11
+            FROM px ORDER BY content_id
+        """,
         "rrf_part_ranking": """
             WITH price_rank AS (
                 SELECT p_brand, p_partkey,

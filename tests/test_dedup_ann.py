@@ -85,6 +85,36 @@ def test_minhash_pairs_find_neardups(spark, docs):
     assert (1, 4) not in pairs and (3, 4) not in pairs
 
 
+def test_multimodal_resize_and_frame_sampling(spark):
+    """Resize = real 2x2 mean-pooling over the deterministic fake decode;
+    frame sampling picks every k-th fake frame with per-frame means — both
+    checked against direct numpy on the same payloads."""
+    import hashlib
+
+    import numpy as np
+
+    rows = [(1, "hello world", "en", "s", 11), (2, "khác", "vi", "s", 4)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    b = multimodal.attach_binary(d)
+    got = {r["content_id"]: r["pixels"]
+           for r in multimodal.resize_images(b, out_side=2).collect()}
+    for doc_id, text, *_ in rows:
+        img = np.frombuffer(
+            hashlib.md5(text.encode()).digest(), dtype=np.uint8
+        ).reshape(4, 4).astype(float)
+        want = img.reshape(2, 2, 2, 2).mean(axis=(1, 3)).ravel()
+        assert got[doc_id] == [round(float(x), 6) for x in want]
+
+    fr = {r["content_id"]: r for r in multimodal.sample_frames(b, 8, 3).collect()}
+    assert fr[1]["sampled_idx"] == [0, 3, 6]
+    m0 = np.frombuffer(
+        hashlib.md5("hello world".encode() + bytes([0])).digest(), dtype=np.uint8
+    ).mean()
+    assert fr[1]["frame_means"][0] == round(float(m0), 6)
+
+
 def test_ivf_full_probe_equals_brute_force(spark):
     """nprobe == n_cells degrades IVF gracefully to exact search."""
     import random
