@@ -99,9 +99,45 @@ def attach_singletons(labels: DataFrame, names: DataFrame) -> DataFrame:
 
 def cluster_matches(matches: DataFrame, names: DataFrame,
                     max_iterations: int = 15) -> tuple[DataFrame, int]:
-    """Scored pairs (is_match=true) → clusters(record_id, cluster_id)."""
+    """Scored pairs (is_match=true) → clusters(record_id, cluster_id).
+
+    Known exact-duplicate cliques are CONTRACTED before the iterative CC:
+    records sharing a ``match_key`` are provably one component (exact pairs
+    score 1.0), so each group maps to its min-record representative and CC
+    runs only on fuzzy edges BETWEEN representatives. On dup-heavy corpora
+    (the common web case) this shrinks the iterated graph by the duplicate
+    factor and usually saves whole rounds — each round is a fixed-latency
+    barrier, the dominant cluster-stage cost at high parallelism. Final
+    labels expand back through the group map; cluster_id stays the min
+    record_id of the full component (min is preserved: every group rep IS
+    its group's min, and CC labels components by min rep)."""
+    groups = names.groupBy("match_key").agg(F.min("record_id").alias("rep"))
+    rep_of = names.select("record_id", "match_key").join(groups, "match_key").select(
+        "record_id", "rep"
+    )
+    from company_name_matching_spark.sources.store import materialize
+
+    rep_of = materialize(rep_of, "cc_repmap")
     edges = matches.where(F.col("is_match")).select(
         F.col("left_id").alias("src"), F.col("right_id").alias("dst")
     )
-    labels, rounds = connected_components(edges, max_iterations)
-    return attach_singletons(labels, names), rounds
+    l_map = rep_of.select(F.col("record_id").alias("src"), F.col("rep").alias("src_rep"))
+    r_map = rep_of.select(F.col("record_id").alias("dst"), F.col("rep").alias("dst_rep"))
+    rep_edges = (
+        edges.join(l_map, "src").join(r_map, "dst")
+        .where(F.col("src_rep") != F.col("dst_rep"))
+        .select(F.col("src_rep").alias("src"), F.col("dst_rep").alias("dst"))
+    )
+    rep_labels, rounds = connected_components(rep_edges, max_iterations)
+    # expand: record → its rep's component label (reps without fuzzy edges
+    # label themselves, covering pure-exact groups)
+    expanded = (
+        rep_of.join(
+            rep_labels.withColumnRenamed("record_id", "rep"), "rep", "left"
+        )
+        .select(
+            "record_id",
+            F.coalesce(F.col("cluster_id"), F.col("rep")).alias("cluster_id"),
+        )
+    )
+    return attach_singletons(expanded, names), rounds
