@@ -157,6 +157,29 @@ def priority_rates(spark, sf_dir):
     ).orderBy("o_orderpriority")
 
 
+def orders_describe(spark, sf_dir):
+    """describe()-shaped column profile (SURVEY A7) with cross-engine-exact
+    stats: count / min / max / decimal-accumulated mean per numeric column
+    (Spark's own describe() emits strings and sample stddev, both unstable
+    across engines — this is the deterministic profiling twin)."""
+    o = _t(spark, sf_dir, "orders")
+
+    def prof(col, scale):
+        return o.agg(
+            F.lit(col).alias("column"),
+            F.count(col).alias("n"),
+            F.min(col).cast("double").alias("min_val"),
+            F.max(col).cast("double").alias("max_val"),
+            F.round(_dec_sum(col, scale) / F.count(col), 6).alias("avg_val"),
+        )
+    return (
+        prof("o_totalprice", 6)
+        .unionByName(prof("o_orderkey", 0))
+        .unionByName(prof("o_custkey", 0))
+        .orderBy("column")
+    )
+
+
 def customers_without_orders(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -731,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_revenue": q5_region_revenue,
         "top_customer_per_nation": top_customer_per_nation,
         "priority_rates": priority_rates,
+        "orders_describe": orders_describe,
         "customers_without_orders": customers_without_orders,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,

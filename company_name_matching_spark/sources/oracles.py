@@ -134,6 +134,27 @@ def build_oracles() -> dict[str, str]:
                    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled
             FROM orders GROUP BY 1 ORDER BY 1
         """,
+        "orders_describe": """
+            SELECT 'o_totalprice' AS column, COUNT(o_totalprice) AS n,
+                   CAST(MIN(o_totalprice) AS DOUBLE) AS min_val,
+                   CAST(MAX(o_totalprice) AS DOUBLE) AS max_val,
+                   ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                         / COUNT(o_totalprice), 6) AS avg_val
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderkey', COUNT(o_orderkey),
+                   CAST(MIN(o_orderkey) AS DOUBLE), CAST(MAX(o_orderkey) AS DOUBLE),
+                   ROUND(CAST(SUM(CAST(o_orderkey AS DECIMAL(30,0))) AS DOUBLE)
+                         / COUNT(o_orderkey), 6)
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', COUNT(o_custkey),
+                   CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+                   ROUND(CAST(SUM(CAST(o_custkey AS DECIMAL(30,0))) AS DOUBLE)
+                         / COUNT(o_custkey), 6)
+            FROM orders
+            ORDER BY 1
+        """,
         "customers_without_orders": """
             SELECT c_custkey, c_name, c_mktsegment FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
