@@ -152,7 +152,26 @@ def jaccard_pairs_prefix(
     # only lengthen prefixes, never shorten them, so losslessness holds
     prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
     ranked = tok.join(df_t, "tok").withColumn("_p", F.row_number().over(w))
-    prefix = ranked.where(F.col("_p") <= prefix_len).select("id", "bk", "tok", "n")
+    prefix = ranked.where(F.col("_p") <= prefix_len).select(
+        "id", "bk", "tok", "n", "_p"
+    )
+    # positional filter (PPJoin): a pair with J ≥ t needs overlap
+    # α = ceil(t/(1+t)·(|A|+|B|)); matching at prefix positions (p_l, p_r)
+    # leaves at most min(|A|-p_l, |B|-p_r)+1 common tokens (suffixes + this
+    # one), so rows that cannot reach α are pruned BEFORE the verify join.
+    # Lossless at pair level: a true pair's FIRST common token in the global
+    # order satisfies the bound, and dedup keeps the pair if ANY generating
+    # row survives.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("l.n") + F.col("r.n")).cast("double")
+        - F.lit(1e-9)
+    )
+    upper = (
+        F.least(
+            F.col("l.n") - F.col("l._p"), F.col("r.n") - F.col("r._p")
+        ) + F.lit(1)
+    )
     cand = (
         prefix.alias("l")
         .join(prefix.alias("r"), ["bk", "tok"])
@@ -162,6 +181,7 @@ def jaccard_pairs_prefix(
                 F.least(F.col("l.n"), F.col("r.n")).cast("double")
                 >= F.lit(threshold) * F.greatest(F.col("l.n"), F.col("r.n"))
             )
+            & (upper >= alpha)
         )
         .select(F.col("l.id").alias("left_id"), F.col("r.id").alias("right_id"))
         .dropDuplicates(["left_id", "right_id"])
