@@ -132,14 +132,31 @@ def main() -> None:
         "clusters": n_clusters,
         "cpus": CPUS,
     }
+    # Compact scaling summary ONLY (round-2 lesson: embedding the full
+    # bench_scaling.json blob pushed this line past the driver's tail
+    # capture and the headline was recorded as parsed:null). Full detail
+    # stays in bench_scaling.json on disk.
     scaling_file = Path(__file__).parent / "bench_scaling.json"
     if scaling_file.exists():
         try:
-            out["scaling"] = json.loads(scaling_file.read_text())
+            blob = json.loads(scaling_file.read_text())
+            compact: dict = {}
+            for key in ("strong_2_to_8", "strong_8_to_32", "weak_2_to_8", "weak_8_to_32"):
+                if key in blob and isinstance(blob[key], dict):
+                    compact[key] = round(blob[key].get("efficiency", float("nan")), 3)
+            levels = blob.get("levels", {})
+            if isinstance(levels, dict):
+                compact["pairs_per_sec_by_cpus"] = {
+                    k: round(v.get("pairs_per_sec", 0.0), 1)
+                    for k, v in levels.items()
+                    if isinstance(v, dict)
+                }
+            out["scaling"] = compact
         except Exception:
             pass
     spark.stop()
-    print(json.dumps(out))
+    sys.stdout.flush()
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -88,7 +88,7 @@ def jaccard_pairs(
     # the array intersection (the expensive part)
     ratio_ok = (
         F.least("l_n", "r_n").cast("double")
-        >= F.lit(threshold) * F.greatest("l_n", "r_n")
+        >= F.lit(threshold) * F.greatest("l_n", "r_n") - F.lit(1e-9)
     )
     inter = F.size(F.array_intersect("l_toks", "r_toks"))
     return (
@@ -178,8 +178,11 @@ def jaccard_pairs_prefix(
         .where(
             (F.col("l.id") < F.col("r.id"))
             & (
+                # -1e-9: lossless-guard convention (t*max can round an
+                # ulp above the exact integer and drop a J==t boundary pair)
                 F.least(F.col("l.n"), F.col("r.n")).cast("double")
                 >= F.lit(threshold) * F.greatest(F.col("l.n"), F.col("r.n"))
+                - F.lit(1e-9)
             )
             & (upper >= alpha)
         )
@@ -280,7 +283,7 @@ def minhash_pairs(
                       F.col("n").alias("r_n")), "right_id")
         .where(
             F.least("l_n", "r_n").cast("double")
-            >= F.lit(threshold) * F.greatest("l_n", "r_n")
+            >= F.lit(threshold) * F.greatest("l_n", "r_n") - F.lit(1e-9)
         )
     )
     inter = F.size(F.array_intersect("l_tg", "r_tg"))

@@ -123,14 +123,34 @@ def search_topk(
     reps = r.withColumn("_kr", F.row_number().over(wk)).where(F.col("_kr") == 1)
 
     # base ranking BEFORE promotion; the reference only ever scans its
-    # truncated top_k result list (matcher.py:640-657), so promotion
-    # candidates are restricted to the base top-k window
+    # truncated top_k result list (matcher.py:640-657). That list is built
+    # group-by-group until the EXPANDED entry count reaches top_k
+    # (matcher.py:615-625: a whole norm-key group is appended, then
+    # `if len(results) >= top_k: break`) — so on duplicate-heavy corpora the
+    # scanned list can hold FEWER groups than k. Parity bound: keep a group
+    # iff the cumulative expanded size of strictly-better groups is < k
+    # (ADVICE r2 — the round-2 representative-count window scanned more
+    # groups than the reference and could promote an unseen candidate).
+    group_sizes = c.groupBy("match_key").agg(F.count(F.lit(1)).alias("_grp_n"))
+    reps = reps.join(
+        group_sizes.withColumnRenamed("match_key", "c_match_key"), "c_match_key"
+    )
     wbase = Window.partitionBy("qid").orderBy(
         F.col("adj_score").desc(), F.col("cid").asc()
     )
     reps = (
         reps.withColumn("_base_rank", F.row_number().over(wbase))
-        .where(F.col("_base_rank") <= cfg.k)
+        .withColumn(
+            "_cum_prev",
+            F.coalesce(
+                F.sum("_grp_n").over(
+                    wbase.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .where(F.col("_cum_prev") < cfg.k)
+        .drop("_grp_n", "_cum_prev")
     )
 
     # entity-type promotion (matcher.py:640-657): if the query names an

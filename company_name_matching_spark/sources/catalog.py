@@ -84,8 +84,23 @@ class ParquetCatalog:
         ``append`` writes ONLY the new rows into a fresh immutable data dir
         and extends the manifest — O(new data), the Iceberg append shape.
         ``overwrite`` starts a fresh dir set.
+
+        Appends inherit the table's partition spec: a snapshot's dir set is
+        read as multiple parquet roots, so mixing hive-partitioned and flat
+        dirs in one snapshot would break partition-column discovery. An
+        append with no explicit ``partition_by`` reuses the current
+        snapshot's; an explicit mismatch is rejected (Iceberg requires a
+        spec-evolution DDL for that, which this catalog doesn't model).
         """
         meta = self._meta(name)
+        if mode == "append" and meta["current"] >= 0:
+            cur_spec = self._snapshot(meta, meta["current"]).get("partition_by", [])
+            if partition_by is None:
+                partition_by = cur_spec or None
+            elif list(partition_by) != list(cur_spec):
+                raise ValueError(
+                    f"append partitioning {partition_by} != table spec {cur_spec}"
+                )
         snap = meta["current"] + 1
         idx = self._next_data_idx(meta)
         writer = df.write.mode("overwrite")
@@ -112,8 +127,19 @@ class ParquetCatalog:
         snap = meta["current"] if snapshot is None else snapshot
         if snap < 0:
             raise FileNotFoundError(f"table {name} does not exist")
-        dirs = self._snapshot(meta, snap)["dirs"]
-        return spark.read.parquet(*[str(self.root / name / d) for d in dirs])
+        snapshot_meta = self._snapshot(meta, snap)
+        dirs = snapshot_meta["dirs"]
+        paths = [str(self.root / name / d) for d in dirs]
+        if snapshot_meta.get("partition_by") and len(paths) > 1:
+            # each data dir is its own hive-partitioned root; a multi-path
+            # read has no single basePath, so union per-root scans (schema
+            # identical by the append-spec invariant enforced in write())
+            from functools import reduce
+
+            return reduce(
+                DataFrame.unionByName, [spark.read.parquet(p) for p in paths]
+            )
+        return spark.read.parquet(*paths)
 
     def compact(self, spark: SparkSession, name: str,
                 target_partitions: int | None = None,

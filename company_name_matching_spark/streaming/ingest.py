@@ -66,9 +66,16 @@ class IncrementalLinker:
                 old_names.select("record_id"), "record_id", "left_anti"
             )
         new_names = new_names.localCheckpoint(eager=True)
-        new_names.write.mode("append").parquet(self._names_path())
 
-        # block ONLY the new records; append their blocks to the store
+        # block ONLY the new records; append their blocks to the store.
+        # Write order matters under at-least-once foreachBatch: blocks go
+        # FIRST. A crash between the two appends then leaves blocks-without-
+        # names — harmless, since the replay's anti-join (keyed on the names
+        # store) re-emits those records and the pair join runs through
+        # new_blocks either way (duplicate stored block rows collapse in the
+        # pair dropDuplicates). The reverse order (names first) would mark
+        # records as seen while their blocks were never persisted, so they
+        # could never pair with future batches.
         new_blocks = (
             blocking.generate_blocks(new_names, self.cfg)
             .withColumn(
@@ -79,6 +86,7 @@ class IncrementalLinker:
         new_blocks.write.mode("append").partitionBy("bucket").parquet(
             self._blocks_path()
         )
+        new_names.write.mode("append").parquet(self._names_path())
 
         # bounded driver-side metadata: the batch's bucket ids (≤64 values)
         # → static partition pruning of the stored blocks table

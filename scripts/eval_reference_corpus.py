@@ -6,12 +6,14 @@ head-to-head against this engine's distributed ``search_topk``:
 
 * corpus     — ``data/sample_system_names.txt`` (4,019 real Vietnamese
                organisation names), ids ``CORP_{idx:04d}``;
-* queries    — combinatorial type-variant substitutions generated by the
-               reference's OWN ``CombinatorialGenerator`` (imported live from
-               ``/root/reference`` at run time — behavior parity without
-               copying code). Variants are sorted per name (the reference
-               materialises ``list(set(...))``, which is hash-order
-               nondeterministic) and a fixed-seed sample is drawn, mirroring
+* queries    — combinatorial type-variant substitutions from the LOCAL
+               reimplementation of the reference's generator
+               (``functions/variants.py`` — parity-tested against the
+               reference's ``CombinatorialGenerator``; nothing from the
+               untrusted reference tree executes here, per ADVICE r2).
+               Variants are sorted per name (the reference materialises
+               ``list(set(...))``, which is hash-order nondeterministic)
+               and a fixed-seed sample is drawn, mirroring
                ``MAX_QUERIES=1000`` / ``random.seed(42)``;
 * metrics    — Top-1 with tie-as-rank-1 semantics
                (``evaluate_matching.py:53-61``): every result tied at the
@@ -53,20 +55,16 @@ def load_corpus(limit: int | None = None) -> list[tuple[str, str]]:
 def generate_queries(
     corpus: list[tuple[str, str]], max_queries: int = 1000, seed: int = 42
 ) -> list[tuple[str, str, str]]:
-    """[(query_id, query_text, target_corp_id)] via the reference's
-    combinatorial generator, deterministically sampled."""
-    sys.path.insert(0, str(REFERENCE_ROOT))
-    try:
-        from src.synthetic.combinatorial import CombinatorialGenerator
-    finally:
-        sys.path.pop(0)
+    """[(query_id, query_text, target_corp_id)] via the local
+    reimplementation of the reference's combinatorial generator,
+    deterministically sampled."""
+    from company_name_matching_spark.functions.variants import type_variants
 
-    gen = CombinatorialGenerator()
     all_q: list[tuple[str, str]] = []
     for corp_id, name in corpus:
-        # sorted(): the reference's list(set(...)) order is hash-seed
-        # dependent; sorting makes OUR sample reproducible
-        for v in sorted(gen.generate(name)):
+        # sorted(): set order is hash-seed dependent; sorting makes OUR
+        # sample reproducible
+        for v in sorted(type_variants(name)):
             if v:
                 all_q.append((v, corp_id))
     rng = random.Random(seed)
