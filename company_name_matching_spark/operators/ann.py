@@ -25,8 +25,6 @@ precision) — no Python in the scoring loop.
 
 from __future__ import annotations
 
-import random
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -140,16 +138,48 @@ def ivf_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42):
-    rng = random.Random(seed)
+LSH_TAG = "lshv1"
+
+
+def md5_component(tag: str, table: int, plane: int, i: int) -> float:
+    """One hyperplane component, uniform in [-1, 1), derived from md5 so the
+    SAME value is computable in ANSI SQL:
+    ``2*(('0x'||substring(md5(key),1,16))::UBIGINT / 2^64) - 1`` in DuckDB
+    equals this exactly (top-8-byte big-endian uint, power-of-two division
+    is lossless in double). Replaces the round-2 seeded ``random.Random``
+    planes, which had no SQL twin and kept ann_lsh_topk rows-only."""
+    import hashlib
+
+    key = f"{tag}:{table}:{plane}:{i}"
+    h = int(hashlib.md5(key.encode()).hexdigest()[:16], 16)
+    return 2.0 * (h / 2.0**64) - 1.0
+
+
+def md5_hyperplanes(
+    dim: int, n_planes: int, n_tables: int, tag: str = LSH_TAG
+) -> list[list[list[float]]]:
+    """Deterministic engine-portable hyperplanes: tables × planes × dim.
+
+    Uniform-cube (not Gaussian) directions — fine for sign-LSH at these
+    dims (a dim-64 projection of uniform components is near-Gaussian by
+    CLT), and every component is reproducible in SQL from its md5 key, so
+    LSH bucket assignment itself has an exact DuckDB twin."""
     return [
-        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
-        for _ in range(n_tables)
+        [
+            [md5_component(tag, t, p, i) for i in range(dim)]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
     ]
 
 
 def _bucket_col(vec_col, planes: list[list[float]], table_idx: int):
-    """Sign-bit bucket key of one LSH table — JVM-native dot products."""
+    """Sign-bit bucket key of one LSH table — JVM-native dot products.
+
+    The sign test is on the 6-dp-rounded dot (same convention as every
+    cross-engine score here): Spark's sequential ``aggregate`` fold and
+    DuckDB's ``list_dot_product`` could disagree in the last ulp, and a
+    raw sign flip at |dot|≈1e-16 would silently shuffle buckets."""
     bits = []
     for p in planes:
         arr = F.array(*[F.lit(float(x)) for x in p])
@@ -158,7 +188,9 @@ def _bucket_col(vec_col, planes: list[list[float]], table_idx: int):
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+        bits.append(
+            F.when(F.round(dot, 6) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        )
     return F.concat(F.lit(f"t{table_idx}:"), *bits)
 
 
@@ -171,11 +203,11 @@ def lsh_topk(
     dim: int = 64,
     n_planes: int = 8,
     n_tables: int = 4,
-    seed: int = 42,
+    tag: str = LSH_TAG,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: candidates must share an LSH bucket in
     ≥1 table; exact cosine re-rank within candidates."""
-    tables = _hyperplanes(dim, n_planes, n_tables, seed)
+    tables = md5_hyperplanes(dim, n_planes, n_tables, tag)
 
     def bucketize(df, idc, vc, out_id, out_v):
         keys = F.array(

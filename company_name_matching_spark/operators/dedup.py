@@ -395,3 +395,54 @@ def embedding_neardup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("left_id", "right_id", "cosine")
     )
+
+
+def embedding_neardup_pairs_lsh(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates with sign-LSH blocking — the scale
+    path. Replaces the round-2 ``block_col="label"`` wiring (a
+    low-cardinality key means O(n²) pairs per label at 100×; VERDICT r2
+    "what's wrong" #2). Candidates must share an exact sign-bucket in ≥1 of
+    ``n_tables`` LSH tables, so per-bucket join fan-out is bounded by the
+    bucket size (~n/2^n_planes expected), not by a label's population.
+
+    The hyperplanes are md5-derived (``ann.md5_hyperplanes``) → bucket
+    assignment is engine-portable and the whole operator has an exact
+    DuckDB twin (the oracle replicates the algorithm, IVF-oracle style).
+    Recall at cos≥t is 1-(1-p^b)^T with p = 1-arccos(t)/π — tune
+    (n_planes, n_tables) per threshold; verification is exact cosine.
+    """
+    from company_name_matching_spark.operators.ann import (
+        _bucket_col,
+        md5_hyperplanes,
+    )
+
+    tables = md5_hyperplanes(dim, n_planes, n_tables)
+    # stage the bucket-key array in its own projection BEFORE explode
+    # (generators re-evaluate their expression per OUTPUT row)
+    keyed = vecs.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.array(
+            *[_bucket_col(F.col(vec_col), tables[t], t) for t in range(n_tables)]
+        ).alias("_keys"),
+    )
+    b = keyed.select("id", "v", F.explode("_keys").alias("bucket"))
+    l = b.select(F.col("id").alias("left_id"), F.col("v").alias("l_v"), "bucket")
+    r = b.select(F.col("id").alias("right_id"), F.col("v").alias("r_v"), "bucket")
+    return (
+        l.join(r, "bucket")
+        .where(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", "l_v", "r_v")
+        .dropDuplicates(["left_id", "right_id"])
+        .withColumn("cosine", F.round(cosine_col(F.col("l_v"), F.col("r_v")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("left_id", "right_id", "cosine")
+    )

@@ -79,6 +79,33 @@ def build_oracles() -> dict[str, str]:
     cosine = ("round(list_cosine_similarity("
               "CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])), 6)")
 
+    def lsh_buckets_cte(n_tables: int, n_planes: int, dim: int) -> str:
+        """SQL twin of ann.md5_hyperplanes + ann._bucket_col: hyperplane
+        components from md5 (top-8-byte UBIGINT / 2^64, mapped to [-1,1)),
+        bucket = table-prefixed sign bits of the 6dp-rounded dot product.
+        Parity with the Python/Spark side is exact (verified on all 500
+        sf0.01 vectors): power-of-two division is lossless and both engines
+        fold the dot sequentially in doubles."""
+        return f"""
+            planes AS (
+                SELECT t, p,
+                       list(2*(('0x' || substring(md5('lshv1:' || t || ':' ||
+                            p || ':' || i), 1, 16))::UBIGINT
+                            / 18446744073709551616.0) - 1 ORDER BY i) AS plane
+                FROM generate_series(0, {n_tables - 1}) ts(t),
+                     generate_series(0, {n_planes - 1}) ps(p),
+                     generate_series(0, {dim - 1}) isr(i)
+                GROUP BY t, p
+            ), buckets AS (
+                SELECT e.vec_id, pl.t,
+                       't' || pl.t || ':' || string_agg(
+                           CASE WHEN round(list_dot_product(
+                                    CAST(e.embedding AS DOUBLE[]), pl.plane), 6) >= 0
+                                THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS bucket
+                FROM embeddings e CROSS JOIN planes pl
+                GROUP BY e.vec_id, pl.t
+            )"""
+
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -288,9 +315,15 @@ def build_oracles() -> dict[str, str]:
             ORDER BY 1, 2
         """,
         "emb_neardup": f"""
-            SELECT l.vec_id AS left_id, r.vec_id AS right_id, {cosine} AS cosine
-            FROM embeddings l JOIN embeddings r
-                 ON l.label = r.label AND l.vec_id < r.vec_id
+            WITH {lsh_buckets_cte(4, 8, 64)}, cand AS (
+                SELECT DISTINCT b1.vec_id AS left_id, b2.vec_id AS right_id
+                FROM buckets b1 JOIN buckets b2 USING (bucket)
+                WHERE b1.vec_id < b2.vec_id
+            )
+            SELECT c.left_id, c.right_id, {cosine} AS cosine
+            FROM cand c
+            JOIN embeddings l ON l.vec_id = c.left_id
+            JOIN embeddings r ON r.vec_id = c.right_id
             WHERE {cosine} >= 0.9
             ORDER BY 1, 2
         """,
@@ -560,6 +593,24 @@ def build_oracles() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS n_bad_center
             FROM part
         """,
-        # er_cluster_parts / ann_lsh_topk: rows-only (iterative fuzzy
-        # clustering assignment / seeded float hyperplanes — no SQL twin).
+        "ann_lsh_topk": f"""
+            WITH {lsh_buckets_cte(4, 8, 64)}, cand AS (
+                SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                FROM buckets q JOIN buckets c USING (bucket)
+                WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+            ), scored AS (
+                SELECT cd.query_id, cd.neighbor_id, {cosine} AS cosine
+                FROM cand cd
+                JOIN embeddings l ON l.vec_id = cd.query_id
+                JOIN embeddings r ON r.vec_id = cd.neighbor_id
+            )
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+            FROM scored
+            QUALIFY rank <= 5
+            ORDER BY query_id, rank
+        """,
+        # er_cluster_parts: rows-only (iterative fuzzy clustering assignment
+        # — no SQL twin); invariants/exact-CC twins cover the machinery.
     }

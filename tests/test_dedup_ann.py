@@ -191,6 +191,23 @@ def test_embedding_neardup(spark, vecs):
     assert (0, 100) in got
 
 
+def test_embedding_neardup_lsh_subset_of_exact(spark, vecs):
+    """LSH-blocked near-dup: (a) every emitted pair is a TRUE pair (verify
+    is exact cosine, so LSH output must be a subset of the quadratic join);
+    (b) identical vectors share every bucket, so exact duplicates are always
+    recalled; (c) cosines agree pairwise with the exact operator."""
+    exact = {(r["left_id"], r["right_id"]): r["cosine"] for r in
+             dedup.embedding_neardup_pairs(vecs, threshold=0.99).collect()}
+    lsh = {(r["left_id"], r["right_id"]): r["cosine"] for r in
+           dedup.embedding_neardup_pairs_lsh(
+               vecs, threshold=0.99, dim=8, n_planes=4, n_tables=6
+           ).collect()}
+    assert set(lsh) <= set(exact)
+    assert (0, 100) in lsh  # identical vectors: all sign bits equal
+    for k, v in lsh.items():
+        assert v == exact[k], k
+
+
 def test_multimodal_plumbing(spark, docs):
     b = multimodal.attach_binary(docs)
     assert b.schema.simpleString().startswith(
