@@ -633,6 +633,40 @@ def search_parts_self(spark, sf_dir):
     )
 
 
+def search_parts_hybrid(spark, sf_dir):
+    """Self-recovery invariant under the reference's HEADLINE config — the
+    'tfidf-bm25' hybrid retrieval channel (matcher.py:60,366-376: 0.5*cos +
+    0.5*max-normalized BM25). Same constant oracle as search_parts_self:
+    every uppercased part name must recover itself at rank 1, so the BM25
+    posting joins, the epsilon*avg_idf floor, and the per-query
+    normalization are all driver-verified."""
+    from company_name_matching_spark.operators.search import SearchConfig, search_topk
+
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 200)
+    corpus = p.select(
+        F.col("p_partkey").cast("string").alias("company_id"),
+        F.col("p_name").alias("name"),
+    )
+    queries = p.select(
+        F.concat(F.lit("q"), F.col("p_partkey").cast("string")).alias("query_id"),
+        F.upper("p_name").alias("query_text"),
+    )
+    res = search_topk(corpus, queries, SearchConfig(k=1, model="hybrid_bm25"))
+    hits = (
+        res.where(F.col("rank") == 1)
+        .where(F.concat(F.lit("q"), F.col("company_id")) == F.col("query_id"))
+        .select("query_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    n_hit = F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+    return queries.join(hits, "query_id", "left").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        n_hit.cast("bigint").alias("n_rank1_self"),
+        (F.count(F.lit(1)) - n_hit).cast("bigint").alias("n_missed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Record linkage end-to-end (flagship)
 # ---------------------------------------------------------------------------
@@ -790,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_rerank_parts": union_rerank_parts,
         "match_confidence_tiers": match_confidence_tiers,
         "search_parts_self": search_parts_self,
+        "search_parts_hybrid": search_parts_hybrid,
         "er_cluster_parts": er_cluster_parts,
         "er_cluster_exact_parts": er_cluster_exact_parts,
         "er_invariants_parts": er_invariants_parts,

@@ -108,3 +108,86 @@ def bm25_scores(
         )
     )
     return scored.select(F.col("doc").alias(id_col), "bm25")
+
+
+def bm25_pair_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "record_id",
+    tokens_col: str = "tokens",
+    k1: float = K1,
+    b: float = B,
+    epsilon: float = EPSILON,
+) -> DataFrame:
+    """BM25 of (query, doc) for an explicit candidate-pair list — the
+    retrieval channel of the reference's tfidf+BM25 hybrid
+    (``matcher.py:366-376``) re-expressed as distributed posting joins.
+
+    ``pairs`` is (left_id=query record, right_id=corpus record). Corpus
+    statistics (df, avgdl, N, the rank_bm25 epsilon·avg_idf floor) come
+    from corpus-wide aggregations exactly as in :func:`bm25_scores`; the
+    per-pair sum is an explode→join→agg bounded by Σ|query terms| × the
+    pair list — never corpus × vocab. Query-term multiplicity is preserved
+    (rank_bm25 iterates duplicates). Returns (left_id, right_id, bm25)
+    for pairs with ≥1 matching term.
+    """
+    c_toks = corpus.select(
+        F.col(id_col).alias("doc"), F.explode(F.col(tokens_col)).alias("term")
+    )
+    postings = c_toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doclens = c_toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = corpus.count()
+    avgdl = float(doclens.agg(F.avg("dl")).collect()[0][0] or 0.0)
+    if n_docs == 0 or avgdl <= 0.0:
+        return pairs.select(
+            "left_id", "right_id", F.lit(0.0).alias("bm25")
+        ).where(F.lit(False))
+
+    raw_idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    df_all = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avg_idf = float(
+        df_all.agg(
+            (
+                F.sum(raw_idf.cast("decimal(30,15)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("ai")
+        ).collect()[0][0]
+    )
+    idf = df_all.withColumn(
+        "idf", F.when(raw_idf < 0, F.lit(epsilon * avg_idf)).otherwise(raw_idf)
+    ).select("term", "idf")
+
+    q_terms = (
+        queries.select(
+            F.col(id_col).alias("left_id"),
+            F.explode(F.col(tokens_col)).alias("term"),
+        )
+        .groupBy("left_id", "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+    )
+    return (
+        pairs.select("left_id", "right_id")
+        .join(q_terms, "left_id")
+        .join(postings.withColumnRenamed("doc", "right_id"), ["right_id", "term"])
+        .join(idf, "term")
+        .join(doclens.withColumnRenamed("doc", "right_id"), "right_id")
+        .withColumn(
+            "contrib",
+            F.col("qtf")
+            * F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+        .groupBy("left_id", "right_id")
+        .agg(
+            F.round(
+                F.sum(F.col("contrib").cast("decimal(30,12)")).cast("double"), 6
+            ).alias("bm25")
+        )
+    )

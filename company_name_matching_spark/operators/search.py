@@ -46,6 +46,16 @@ def confidence_tier(score_col):
 class SearchConfig:
     k: int = 5
     min_score: float = 0.0
+    # "fused": the 4-channel pairwise fusion (cos/jaccard/JW/Lev) — this
+    # engine's default, Top-1 100% on the reference corpus.
+    # "hybrid_bm25": the reference's published headline config
+    # (matcher.py:366-376, model 'tfidf-bm25'): 0.5·tfidf-cosine +
+    # 0.5·max-normalized BM25. The BM25 max is taken over the query's
+    # CANDIDATES, not the whole corpus — with shared blocking the global
+    # argmax doc is virtually always a candidate; documented divergence.
+    model: str = "fused"
+    tfidf_weight: float = 0.5  # matcher.py:60
+    bm25_weight: float = 0.5
     blocking: blocking.BlockingConfig = field(default_factory=blocking.BlockingConfig)
     scoring: scoring.ScoringConfig = field(default_factory=scoring.ScoringConfig)
 
@@ -90,6 +100,38 @@ def search_topk(
     search_scoring = dataclasses.replace(cfg.scoring, repeat_penalty=1.0)
     feats = scoring.featurize(union_names, idf, search_scoring)
     scored = scoring.score_pairs(feats, cand, search_scoring)
+
+    if cfg.model == "hybrid_bm25":
+        # reference 'tfidf-bm25' (matcher.py:366-376): replace the fused
+        # pairwise score with 0.5·tfidf-cos + 0.5·(bm25 / per-query max).
+        # Exact match-key pairs keep score 1.0 (their cos_sim is 1.0 and
+        # the exact doc is the per-query BM25 argmax, so the formula would
+        # give ~1.0 anyway; keeping the exact short-circuit avoids joining
+        # their heavy features).
+        from company_name_matching_spark.operators import bm25 as bm25_mod
+
+        b = bm25_mod.bm25_pair_scores(c, q, scored.select("left_id", "right_id"))
+        wq_max = Window.partitionBy("left_id")
+        b = b.withColumn(
+            "_bmax", F.max("bm25").over(wq_max)
+        ).withColumn(
+            "bm25_norm",
+            F.when(F.col("_bmax") > 0, F.col("bm25") / F.col("_bmax")).otherwise(
+                F.lit(0.0)
+            ),
+        ).select("left_id", "right_id", "bm25_norm")
+        scored = (
+            scored.join(b, ["left_id", "right_id"], "left")
+            .withColumn(
+                "score",
+                F.when(F.col("score") >= 1.0, F.col("score")).otherwise(
+                    F.lit(cfg.tfidf_weight) * F.col("cos_sim")
+                    + F.lit(cfg.bm25_weight)
+                    * F.coalesce(F.col("bm25_norm"), F.lit(0.0))
+                ),
+            )
+            .drop("bm25_norm")
+        )
 
     # attach sides: query info + candidate (corpus) info
     qs = q.select(

@@ -578,6 +578,12 @@ def build_oracles() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS n_missed
             FROM part WHERE p_partkey <= 300
         """,
+        "search_parts_hybrid": """
+            SELECT COUNT(*) AS n_queries,
+                   COUNT(*) AS n_rank1_self,
+                   CAST(0 AS BIGINT) AS n_missed
+            FROM part WHERE p_partkey <= 200
+        """,
         "er_cluster_exact_parts": f"""
             SELECT MIN(p_partkey) AS cluster_min_partkey,
                    COUNT(*) AS cluster_size

@@ -252,3 +252,24 @@ def test_search_window_counts_expanded_entries(spark):
     # at k=3 the cumulative bound admits the second group again
     rows3 = search_topk(corpus, queries, SearchConfig(k=3)).collect()
     assert {r["company_id"] for r in rows3} == {"A1", "A2", "B1"}
+
+
+def test_search_hybrid_bm25_top1(spark, corpus_queries):
+    """The reference's published headline config — 'tfidf-bm25' hybrid,
+    0.5·cos + 0.5·max-normalized BM25 (matcher.py:60,366-376) — must hold
+    the same Top-1 floor as the fused default on the labeled queries."""
+    corpus, queries = corpus_queries
+    res = search_topk(corpus, queries, SearchConfig(k=3, model="hybrid_bm25"))
+    top1 = res.where(F.col("rank") == 1).select("query_id", "company_id")
+    hits = (
+        queries.join(
+            top1.withColumnRenamed("company_id", "got"), "query_id", "left"
+        )
+        .groupBy("query_id", "target_id")
+        .agg(F.max(F.when(F.col("got") == F.col("target_id"), 1).otherwise(0)).alias("hit"))
+    )
+    acc = hits.agg(F.avg("hit").alias("acc")).collect()[0]["acc"]
+    assert acc >= 0.99, f"hybrid top-1 accuracy {acc:.4f}"
+    # scores stay in [0,1] under the hybrid formula
+    bad = res.where((F.col("score") < 0) | (F.col("score") > 1.0)).count()
+    assert bad == 0
