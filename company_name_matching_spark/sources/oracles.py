@@ -445,7 +445,57 @@ def build_oracles() -> dict[str, str]:
         # sf0.01 corpora, so the entry's banded+verified output equals this
         # quadratic oracle exactly (a recall miss would surface as a red row —
         # which is precisely what this gate is for).
-        "docs_minhash_neardup": """
+        "threshold_sweep_docs": f"""
+            WITH t AS (
+                SELECT doc_id, lang, {_fingerprint('text')} AS fp,
+                       list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+                FROM documents
+            ), p AS (
+                SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+                       ROUND(CAST(len(l.toks) + len(r.toks) - len(list_distinct(l.toks || r.toks)) AS DOUBLE)
+                             / len(list_distinct(l.toks || r.toks)), 6) AS s,
+                       (l.fp = r.fp) AS c
+                FROM t l JOIN t r ON l.lang = r.lang AND l.doc_id < r.doc_id
+                WHERE CAST(len(l.toks) + len(r.toks) - len(list_distinct(l.toks || r.toks)) AS DOUBLE)
+                      / len(list_distinct(l.toks || r.toks)) >= 0.8
+            ), bi AS (
+                SELECT left_id AS qid, right_id AS pid, s, c FROM p
+                UNION ALL
+                SELECT right_id AS qid, left_id AS pid, s, c FROM p
+            ), best AS (
+                SELECT qid, s, c,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY s DESC, pid ASC) AS rn
+                FROM bi QUALIFY rn = 1
+            ), recs AS (
+                SELECT d.doc_id,
+                       COALESCE(b.s, 0.0) AS top1_score,
+                       COALESCE(b.c, FALSE) AS is_correct
+                FROM documents d LEFT JOIN best b ON d.doc_id = b.qid
+            ), th AS (
+                SELECT CAST(v.t AS DOUBLE) AS threshold
+                FROM (VALUES (0.0),(0.8),(0.85),(0.9),(0.95),(1.0)) v(t)
+            ), agg AS (
+                SELECT threshold,
+                       CAST(SUM(CASE WHEN top1_score >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS answered,
+                       CAST(SUM(CASE WHEN top1_score >= threshold AND is_correct THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+                       COUNT(*) AS total
+                FROM recs CROSS JOIN th GROUP BY threshold
+            ), m AS (
+                SELECT threshold, answered, correct,
+                       ROUND(CAST(answered AS DOUBLE) / total * 100.0, 6) AS coverage,
+                       ROUND(CASE WHEN answered > 0
+                             THEN CAST(correct AS DOUBLE) / answered * 100.0
+                             ELSE 0.0 END, 6) AS precision
+                FROM agg
+            )
+            SELECT threshold, answered, correct, coverage, precision,
+                   ROUND(CASE WHEN precision + coverage > 0
+                         THEN 1.25 * precision * coverage / (0.25 * precision + coverage)
+                         ELSE 0.0 END, 6) AS f05
+            FROM m ORDER BY threshold
+        """,
+        "docs_minhash_neardup":"""
             WITH c AS (
                 SELECT doc_id,
                        lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ctext
@@ -616,6 +666,21 @@ def build_oracles() -> dict[str, str]:
             FROM scored
             QUALIFY rank <= 5
             ORDER BY query_id, rank
+        """,
+        # Constant oracle: the a-priori-correct outcome of the fuzzy ER
+        # pipeline on the deterministic labeled fixture corpus (100 entities
+        # x 4 variants, seed 42). fp=fn=0 and n_clusters=100 are the
+        # north-rule acceptance (pairwise F1=1.0); tp=906/n_records=472 are
+        # the committed deterministic fixture values.
+        "er_f1_labeled": """
+            SELECT CAST(472 AS BIGINT) AS n_records,
+                   CAST(100 AS BIGINT) AS n_clusters,
+                   CAST(906 AS BIGINT) AS match_tp,
+                   CAST(0 AS BIGINT) AS match_fp,
+                   CAST(0 AS BIGINT) AS match_fn,
+                   CAST(906 AS BIGINT) AS cluster_tp,
+                   CAST(0 AS BIGINT) AS cluster_fp,
+                   CAST(0 AS BIGINT) AS cluster_fn
         """,
         # er_cluster_parts: rows-only (iterative fuzzy clustering assignment
         # — no SQL twin); invariants/exact-CC twins cover the machinery.
