@@ -182,6 +182,25 @@ MATCH_ALIASES: list[tuple[str, str]] = [
     # ("san xuat tm"-type rules eat the "tm" of "tm-dv"), stranding a
     # punctuation-only token that poisons token-set blocking
     (r'(?<!\S)[-&+.,]+(?!\S)', ' '),
+    # English legal-form equivalences (cross-language queries — the
+    # reference's evaluate_cross_language.py scenario). Input here is
+    # already lowercase + accent-free. Longest form first.
+    (r'\bjoint stock commercial bank\b', 'ngan hang tmcp'),
+    (r'\bcommercial joint stock bank\b', 'ngan hang tmcp'),
+    (r'\bjoint stock company\b', 'cp'),
+    (r'\bjoint stock\b', 'cp'),
+    (r'\bcompany limited\b', 'tnhh'),
+    (r'\blimited company\b', 'tnhh'),
+    (r'\blimited liability company\b', 'tnhh'),
+    (r'\bco ltd\b', 'tnhh'),
+    (r'\bltd\b', 'tnhh'),
+    (r'\blimited\b', 'tnhh'),
+    (r'\bincorporated\b', 'cp'),
+    (r'\binc\b', 'cp'),
+    (r'\bcorporation\b', 'tong'),
+    (r'\bcorp\b', 'tong'),
+    (r'\bcompany\b', ' '),  # EN twin of the 'cong ty' stopword
+    (r'\bvietnam\b', 'viet nam'),  # token split so blocking sees both
 ]
 
 

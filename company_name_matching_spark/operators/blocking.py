@@ -128,6 +128,20 @@ def prefix_key_col(tokens_col, cfg: BlockingConfig):
     )
 
 
+def token_keys_col(tokens_col):
+    """array<string> of per-token block keys ('t:' + token, len ≥ 3) —
+    classic token blocking with frequency pruning: common tokens ("viet",
+    "nam", entity markers) form huge blocks that the ``filter_blocks`` hot
+    cap drops, so only DISCRIMINATIVE tokens generate pairs. The recall
+    channel for queries sharing a brand token but no prefix/band with the
+    corpus form (cross-language EN→VI queries, heavy reorderings). OFF by
+    default — enable via ``channels=(..., "token")``."""
+    return F.transform(
+        F.filter(F.array_distinct(tokens_col), lambda t: F.length(t) >= 3),
+        lambda t: F.concat(F.lit("t:"), t),
+    )
+
+
 def generate_blocks(names: DataFrame, cfg: BlockingConfig | None = None) -> DataFrame:
     """names → blocks(record_id, block_key), one row per (record, key).
 
@@ -140,6 +154,8 @@ def generate_blocks(names: DataFrame, cfg: BlockingConfig | None = None) -> Data
         key_arrays.append(F.array(prefix_key_col(F.col("tokens"), cfg)))
     if "lsh" in cfg.channels:
         key_arrays.append(band_keys_col(F.col("match_key"), cfg))
+    if "token" in cfg.channels:
+        key_arrays.append(token_keys_col(F.col("tokens")))
     all_keys = F.concat(*key_arrays) if len(key_arrays) > 1 else key_arrays[0]
     # stage the key array in its own projection before explode: Generate
     # re-evaluates its generator expression per OUTPUT row, which would
