@@ -241,9 +241,17 @@ def minhash_pairs(
     # Small parquet inputs arrive as 1 split; spread the CPU-bound signature
     # computation across the cluster first.
     d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
-    sigs = d.select(
-        "id", blocking.minhash_signature_col(F.col("ctext"), cfg).alias("sig")
-    ).localCheckpoint(eager=True)
+    from company_name_matching_spark.sources.store import materialize
+
+    # parquet barrier, not localCheckpoint: executor-memory-resident blocks
+    # are non-replayable on executor loss on a real cluster (and the
+    # in-memory scan anti-scales at high local thread counts; see store.py)
+    sigs = materialize(
+        d.select(
+            "id", blocking.minhash_signature_col(F.col("ctext"), cfg).alias("sig")
+        ),
+        "minhash_sigs",
+    )
     bands = sigs.select(
         F.col("id").alias("record_id"),
         F.explode(blocking.band_keys_from_sig(F.col("sig"), cfg)).alias("block_key"),

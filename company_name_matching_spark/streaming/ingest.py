@@ -65,7 +65,10 @@ class IncrementalLinker:
             new_names = new_names.join(
                 old_names.select("record_id"), "record_id", "left_anti"
             )
-        new_names = new_names.localCheckpoint(eager=True)
+        from company_name_matching_spark.sources.store import materialize
+
+        # parquet barrier (not localCheckpoint): replayable on executor loss
+        new_names = materialize(new_names, "ingest_names")
 
         # block ONLY the new records; append their blocks to the store.
         # Write order matters under at-least-once foreachBatch: blocks go
@@ -81,8 +84,8 @@ class IncrementalLinker:
             .withColumn(
                 "bucket", F.pmod(F.xxhash64("block_key"), F.lit(N_BLOCK_BUCKETS))
             )
-            .localCheckpoint(eager=True)
         )
+        new_blocks = materialize(new_blocks, "ingest_blocks")
         new_blocks.write.mode("append").partitionBy("bucket").parquet(
             self._blocks_path()
         )
