@@ -881,6 +881,39 @@ def er_cluster_exact_parts(spark, sf_dir):
     )
 
 
+def er_cluster_jaccard_docs(spark, sf_dir):
+    """The iterative large-/small-star CC under a true oracle with genuinely
+    FUZZY edges: edges are jaccard>=0.8 near-dup pairs from the lossless
+    prefix-filter join (SQL-expressible — proven pair-exact by the
+    docs_jaccard_neardup oracle), and the DuckDB twin computes the same
+    transitive closure with a recursive CTE (min-label reachability).
+    Unlike er_cluster_exact_parts (exact-key edges), these components have
+    real diameter (chains A~B~C where A!~C), so convergence over multiple
+    star rounds is exercised, not just single-hop contraction. The fixture
+    corpus resolves to clusters up to ~143 members at sf0.01."""
+    from company_name_matching_spark.operators import clustering, dedup
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs_prefix(d, block_col="lang", threshold=0.8)
+    edges = pairs.select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+    )
+    labels, _ = clustering.connected_components(edges)
+    labels = clustering.attach_singletons(
+        labels, d.select(F.col("doc_id").alias("record_id"))
+    )
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "cluster_id")
+        .select(
+            F.col("record_id").alias("doc_id"), "cluster_id", "cluster_size"
+        )
+        .orderBy("doc_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return er_cluster_parts(spark, "/root/testdata/sf0.001")
@@ -928,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_f1_labeled": er_f1_labeled,
         "er_cluster_parts": er_cluster_parts,
         "er_cluster_exact_parts": er_cluster_exact_parts,
+        "er_cluster_jaccard_docs": er_cluster_jaccard_docs,
         "er_invariants_parts": er_invariants_parts,
     }
 

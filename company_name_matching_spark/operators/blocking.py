@@ -161,9 +161,11 @@ def generate_blocks(names: DataFrame, cfg: BlockingConfig | None = None) -> Data
     # re-evaluates its generator expression per OUTPUT row, which would
     # recompute the MinHash signature keys× per record (~1.6× measured)
     staged = names.select("record_id", all_keys.alias("_keys"))
-    return staged.select(
-        "record_id", F.explode("_keys").alias("block_key")
-    ).dropDuplicates(["record_id", "block_key"])
+    # no dedup shuffle here: (record_id, block_key) duplicates are impossible
+    # by construction — channels are namespace-disjoint ("p:" / "l:{band}:" /
+    # "t:"), band keys carry distinct band indices, and token keys are
+    # array_distinct. Downstream consumers that form pairs dedup pairs anyway.
+    return staged.select("record_id", F.explode("_keys").alias("block_key"))
 
 
 def filter_blocks(
@@ -206,22 +208,31 @@ def candidate_pairs(
     """
     cfg = cfg or BlockingConfig()
     blocks = filter_blocks(generate_blocks(names, cfg), cfg)
-    # blocks feeds both sides of the self-join (and its sizes were already
-    # scanned once in filter_blocks) — materialize once; parquet scratch, not
-    # .persist(): the in-memory cache scan anti-scales with local threads
-    # (see sources/store.py)
-    from company_name_matching_spark.sources.store import materialize
-
-    blocks = materialize(blocks, "blocks")
-    l = blocks.alias("l")
-    r = blocks.alias("r")
-    pairs = (
-        l.join(r, "block_key")
-        .where(F.col("l.record_id") < F.col("r.record_id"))
-        .select(
-            F.col("l.record_id").alias("left_id"),
-            F.col("r.record_id").alias("right_id"),
-        )
+    # Fused pair expansion instead of a blocked self-join. The round-2 plan
+    # (materialize blocks → join blocks with itself on block_key → dedup)
+    # shuffled the block table three more times (dedup-by-(id,key), two join
+    # exchanges off the parquet re-read) and anti-scaled 8→32 threads on the
+    # shuffle bus. Here the window in filter_blocks already hash-partitioned
+    # rows by block_key, so the groupBy REUSES that exchange (no new
+    # shuffle); with every surviving block ≤ max_block_size the per-key
+    # collect_set state and the per-row expansion are both bounded, and the
+    # sorted set makes left < right by construction. Net plan: 2 shuffles
+    # (window + final pair dedup) versus 5 — the hot-block cap, not AQE skew
+    # splitting, is what bounds the worst task.
+    grp = blocks.groupBy("block_key").agg(
+        F.sort_array(F.collect_set("record_id")).alias("_ids")
+    )
+    # stage each anchor's tail slice before explode — Generate re-evaluates
+    # its generator expression per OUTPUT row (see generate_blocks)
+    anchors = grp.select(
+        F.posexplode("_ids").alias("_i", "left_id"), "_ids"
+    ).select(
+        "left_id",
+        F.slice(
+            F.col("_ids"), F.col("_i") + F.lit(2), F.size("_ids")
+        ).alias("_rest"),
+    )
+    return (
+        anchors.select("left_id", F.explode("_rest").alias("right_id"))
         .dropDuplicates(["left_id", "right_id"])
     )
-    return pairs

@@ -684,4 +684,41 @@ def build_oracles() -> dict[str, str]:
         """,
         # er_cluster_parts: rows-only (iterative fuzzy clustering assignment
         # — no SQL twin); invariants/exact-CC twins cover the machinery.
+        # The iterative CC itself IS oracle-backed with fuzzy edges below:
+        # jaccard>=0.8 pair edges (same SQL as docs_jaccard_neardup) +
+        # transitive closure via recursive min-label reachability. Closure
+        # row count is sum(cluster_size^2) — bounded at oracle scale
+        # (sf0.01: ~28k rows, clusters up to 143).
+        "er_cluster_jaccard_docs": r"""
+            WITH RECURSIVE t AS (
+                SELECT doc_id, lang,
+                       list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+                FROM documents
+            ),
+            pairs AS (
+                SELECT l.doc_id AS a, r.doc_id AS b
+                FROM t l JOIN t r ON l.lang = r.lang AND l.doc_id < r.doc_id
+                WHERE CAST(len(l.toks) + len(r.toks) - len(list_distinct(l.toks || r.toks)) AS DOUBLE)
+                      / len(list_distinct(l.toks || r.toks)) >= 0.8
+            ),
+            edges AS (
+                SELECT a AS src, b AS dst FROM pairs
+                UNION
+                SELECT b AS src, a AS dst FROM pairs
+            ),
+            reach(node, lab) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst AS node, r.lab
+                FROM reach r JOIN edges e ON e.src = r.node
+            ),
+            cc AS (
+                SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
+            )
+            SELECT c.doc_id, c.cluster_id, s.cluster_size
+            FROM cc c
+            JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id) s
+            USING (cluster_id)
+            ORDER BY c.doc_id
+        """,
     }
