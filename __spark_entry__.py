@@ -263,6 +263,28 @@ def norm_clean_names(spark, sf_dir):
     )
 
 
+def part_substring_calibrated(spark, sf_dir):
+    """P6 (substring predicate — reference matcher's contains-style candidate
+    filter) + F11 (sigmoid calibration of a raw score, reference
+    src/matcher.py rerank path): filter part names by substring, calibrate
+    the retail price to (0,1) with a scaled sigmoid — both pure JVM
+    expressions (predicate pushdown + whole-stage codegen)."""
+    from company_name_matching_spark.functions import calibration
+
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.where(F.col("p_name").contains("green"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.round(
+                calibration.scaled_sigmoid(F.col("p_retailprice"), 1500.0, 200.0), 6
+            ).alias("price_calib"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (training-data ops)
 # ---------------------------------------------------------------------------
@@ -934,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "norm_fold_accents": norm_fold_accents,
         "norm_clean_names": norm_clean_names,
         "dup_group_names": dup_group_names,
+        "part_substring_calibrated": part_substring_calibrated,
         "text_stats": text_stats,
         "text_quality_langid": text_quality_langid,
         "text_bpe_tokens": text_bpe_tokens,

@@ -112,3 +112,82 @@ def dense_pair_scores(
             F.round(cosine_col(F.col("l_v"), F.col("r_v")), 6).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-encoder seam (SURVEY §2 V11)
+# ---------------------------------------------------------------------------
+
+PairScorerFactory = Callable[[], Callable[[list[str], list[str]], np.ndarray]]
+
+
+def overlap_cross_scorer() -> Callable[[list[str], list[str]], np.ndarray]:
+    """Deterministic stand-in cross-encoder: logit = 4·J(tokens_a, tokens_b) − 2
+    (hashed-token Jaccard, so logits span [−2, 2] and identical texts hit the
+    top). Like :func:`hash_encoder`, this is a plumbing test double — no
+    torch in this environment — but it preserves the real model's contract:
+    a joint (query, candidate) scorer that CANNOT be factored into two
+    independent encodings, which is exactly why it needs its own seam
+    (pair-batched, not text-batched)."""
+
+    def score(a_texts: list[str], b_texts: list[str]) -> np.ndarray:
+        out = np.zeros(len(a_texts), dtype=np.float64)
+        for i, (a, b) in enumerate(zip(a_texts, b_texts)):
+            ta = {hashlib.md5(t.encode()).digest()[:8]
+                  for t in str(a or "").lower().split()}
+            tb = {hashlib.md5(t.encode()).digest()[:8]
+                  for t in str(b or "").lower().split()}
+            union = len(ta | tb)
+            j = (len(ta & tb) / union) if union else 0.0
+            out[i] = 4.0 * j - 2.0
+        return out
+
+    return score
+
+
+def cross_encoder_scores(
+    pairs: DataFrame,
+    scorer_factory: PairScorerFactory | None = None,
+    left_id: str = "query_id",
+    right_id: str = "candidate_id",
+    left_text: str = "query_text",
+    right_text: str = "name",
+    batch_size: int = 512,
+) -> DataFrame:
+    """Score (query, candidate) text pairs with a joint cross-encoder →
+    (left_id, right_id, score in (0,1)).
+
+    The reference's cross-encoder rerank (``matcher.py`` sigmoid-calibrated
+    logits over its top-k shortlist) as Arrow-batched Spark plumbing: the
+    scorer is built once per python worker executor-side, consumes
+    pair-batches of the size a GPU wants, and the raw logit is calibrated
+    JVM-side with :func:`..functions.calibration.sigmoid`. Apply AFTER a
+    cheap shortlist (top-k from lexical fusion) — cross-encoders are
+    O(pairs), never a first-stage scorer at 100 TB."""
+    from company_name_matching_spark.functions.calibration import sigmoid
+
+    factory = scorer_factory or overlap_cross_scorer
+    lt = dict(pairs.dtypes)[left_id]
+    rt = dict(pairs.dtypes)[right_id]
+    schema = f"{left_id} {lt}, {right_id} {rt}, logit double"
+    src = pairs.select(left_id, right_id, left_text, right_text)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        scorer = factory()  # once per worker, executor-side
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start:start + batch_size]
+                logits = scorer(
+                    chunk[left_text].tolist(), chunk[right_text].tolist()
+                )
+                yield pd.DataFrame(
+                    {left_id: chunk[left_id].values,
+                     right_id: chunk[right_id].values,
+                     "logit": np.asarray(logits, dtype=np.float64)}
+                )
+
+    scored = src.mapInPandas(run, schema=schema)
+    return scored.select(
+        left_id, right_id,
+        F.round(sigmoid(F.col("logit")), 6).alias("score"),
+    )

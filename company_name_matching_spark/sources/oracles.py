@@ -226,6 +226,14 @@ def build_oracles() -> dict[str, str]:
                    array_to_string(list_sort(list(p_name))[1:100], '|') AS original_names
             FROM part GROUP BY 1 ORDER BY 1
         """,
+        "part_substring_calibrated": """
+            SELECT p_partkey, p_name,
+                   ROUND(1.0 / (1.0 + exp(-((p_retailprice - 1500.0) / 200.0))), 6)
+                       AS price_calib
+            FROM part
+            WHERE p_name LIKE '%green%'
+            ORDER BY p_partkey
+        """,
         "text_stats": f"""
             SELECT doc_id,
                    len({toks}) AS n_tokens,

@@ -42,3 +42,48 @@ def test_dense_pair_scores_and_union_rerank(spark):
     out = rank.union_rerank(stage1, dense, rerank_n=2)
     top = out.orderBy(F.col("rerank_score").desc()).first()
     assert top["candidate_id"] == "c2"
+
+
+def test_cross_encoder_scores_known_values(spark):
+    """V11 seam: joint pair scorer, executor-side factory, sigmoid-calibrated
+    logits. Stand-in logit = 4*J(tokens)-2 → identical texts sigmoid(2),
+    disjoint sigmoid(-2), half-overlap J=1/3 → sigmoid(-2/3)."""
+    import math
+
+    pairs = spark.createDataFrame(
+        [
+            ("q1", "c1", "son ha viet nam", "son ha viet nam"),
+            ("q1", "c2", "son ha viet nam", "khac biet hoan toan"),
+            ("q1", "c3", "son ha", "son khac"),
+        ],
+        "query_id string, candidate_id string, query_text string, name string",
+    )
+    got = {
+        r["candidate_id"]: r["score"]
+        for r in encode.cross_encoder_scores(pairs).collect()
+    }
+    sig = lambda x: 1.0 / (1.0 + math.exp(-x))
+    assert got["c1"] == round(sig(2.0), 6)
+    assert got["c2"] == round(sig(-2.0), 6)
+    assert got["c3"] == round(sig(4.0 / 3.0 - 2.0), 6)
+
+
+def test_cross_encoder_composes_with_union_rerank(spark):
+    """The seam slots into the V9 union-rerank exactly like the dense
+    channel: rerank a lexical shortlist by cross-encoder score."""
+    shortlist = spark.createDataFrame(
+        [
+            ("q1", "c1", "son ha viet nam", "son ha viet nam", 0.9),
+            ("q1", "c2", "son ha viet nam", "son ha", 0.8),
+        ],
+        "query_id string, candidate_id string, query_text string, name string, lex double",
+    )
+    ce = encode.cross_encoder_scores(shortlist)
+    fused = (
+        shortlist.select("query_id", "candidate_id", "lex")
+        .join(ce, ["query_id", "candidate_id"])
+        .withColumn("final", F.col("lex") * 0.5 + F.col("score") * 0.5)
+        .orderBy(F.desc("final"))
+        .collect()
+    )
+    assert fused[0]["candidate_id"] == "c1"  # exact pair outranks partial
