@@ -151,10 +151,14 @@ def _pair_sims_udf(
     return pd.DataFrame({"cos_sim": cos, "jw_sim": jw})
 
 
-# light features: enough to decide exactness + post-rules; no arrays
-_LIGHT_COLS = ("record_id", "match_key", "entity_type", "has_repeat")
-# heavy features: token arrays + sparse vectors, joined only for fuzzy pairs
-_HEAVY_COLS = ("record_id", "tokens", "tg_idx", "tg_val")
+# light features: enough to decide exactness + post-rules — no arrays, no
+# strings: match-key equality is decided on an 8-byte xxhash64 key id, so
+# the 12.4M-row pair base never carries the key strings through its
+# shuffles/scratch (the strings ride only the fuzzy-remainder heavy join)
+_LIGHT_COLS = ("record_id", "key_id", "entity_type", "has_repeat")
+# heavy features: key string + token arrays + sparse vectors, joined only
+# for fuzzy pairs
+_HEAVY_COLS = ("record_id", "match_key", "tokens", "tg_idx", "tg_val")
 
 _OUT_COLS = ("left_id", "right_id", "jaccard", "lev_sim", "cos_sim", "jw_sim",
              "score", "is_match")
@@ -175,7 +179,9 @@ def score_pairs(
        sparse TF-IDF vectors) and crosses into the Arrow UDF.
     """
     cfg = cfg or ScoringConfig()
-    light = featurized.select(*_LIGHT_COLS)
+    light = featurized.withColumn("key_id", F.xxhash64("match_key")).select(
+        *_LIGHT_COLS
+    )
     l_light = light.select([F.col(c).alias(f"l_{c}") for c in _LIGHT_COLS])
     r_light = light.select([F.col(c).alias(f"r_{c}") for c in _LIGHT_COLS])
     base = (
@@ -189,14 +195,14 @@ def score_pairs(
 
     base = materialize(base, "pair_base")
 
-    exact = base.where(F.col("l_match_key") == F.col("r_match_key")).select(
+    exact = base.where(F.col("l_key_id") == F.col("r_key_id")).select(
         "left_id", "right_id",
         F.lit(1.0).alias("jaccard"), F.lit(1.0).alias("lev_sim"),
         F.lit(1.0).alias("cos_sim"), F.lit(1.0).alias("jw_sim"),
         F.lit(1.0).alias("score"), F.lit(True).alias("is_match"),
     )
 
-    fuzzy = base.where(F.col("l_match_key") != F.col("r_match_key"))
+    fuzzy = base.where(F.col("l_key_id") != F.col("r_key_id"))
     heavy = featurized.select(*_HEAVY_COLS)
     l_heavy = heavy.select([F.col(c).alias(f"lh_{c}") for c in _HEAVY_COLS])
     r_heavy = heavy.select([F.col(c).alias(f"rh_{c}") for c in _HEAVY_COLS])
@@ -212,16 +218,17 @@ def score_pairs(
         "jaccard",
         F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(0.0),
     )
-    max_len = F.greatest(F.length("l_match_key"), F.length("r_match_key"))
+    max_len = F.greatest(F.length("lh_match_key"), F.length("rh_match_key"))
     df = df.withColumn(
         "lev_sim",
         F.when(
             max_len > 0,
-            1.0 - F.levenshtein("l_match_key", "r_match_key").cast("double") / max_len,
+            1.0
+            - F.levenshtein("lh_match_key", "rh_match_key").cast("double") / max_len,
         ).otherwise(0.0),
     )
     df = df.withColumn("_sims", _pair_sims_udf(
-        "l_match_key", "r_match_key",
+        "lh_match_key", "rh_match_key",
         "lh_tg_idx", "lh_tg_val", "rh_tg_idx", "rh_tg_val"
     )).select("*", F.col("_sims.cos_sim").alias("cos_sim"),
               F.col("_sims.jw_sim").alias("jw_sim")).drop("_sims")
