@@ -263,6 +263,35 @@ def norm_clean_names(spark, sf_dir):
     )
 
 
+def lsa_parts_invariants(spark, sf_dir):
+    """V3 LSA under a driver-checkable constant oracle. The factorization
+    itself is verified by differential pytest vs exact dense numpy SVD
+    (tests/test_lsa.py); here the driver checks its a-priori invariants on
+    the part-name corpus: components orthonormal (≤1e-8 deviation), every
+    part embedded exactly once (every part name hits the top-256 trigram
+    vocabulary), every projection norm ≤ 1 (rows are L2-normalized and the
+    basis is orthonormal, so projections are contractions)."""
+    import numpy as np
+
+    from company_name_matching_spark.operators import lsa
+
+    p = _t(spark, sf_dir, "part")
+    model = lsa.fit(p, "p_partkey", "p_name", n_components=8, vocab_size=256)
+    emb = lsa.transform(p, model, "p_partkey", "p_name")
+    C = model.components
+    ortho_ok = bool(np.abs(C.T @ C - np.eye(C.shape[1])).max() < 1e-8)
+    n_parts = p.count()
+    sq_norm = F.aggregate("lsa", F.lit(0.0), lambda a, x: a + x * x)
+    stats = emb.agg(
+        F.count(F.lit(1)).alias("n_embeddings"),
+        F.sum((sq_norm <= F.lit(1.0 + 1e-9)).cast("long")).alias("n_norm_ok"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(n_parts, int(stats["n_embeddings"]), int(stats["n_norm_ok"]), ortho_ok)],
+        "n_parts long, n_embeddings long, n_norm_ok long, ortho_ok boolean",
+    )
+
+
 def part_substring_calibrated(spark, sf_dir):
     """P6 (substring predicate — reference matcher's contains-style candidate
     filter) + F11 (sigmoid calibration of a raw score, reference
@@ -273,7 +302,7 @@ def part_substring_calibrated(spark, sf_dir):
 
     p = _t(spark, sf_dir, "part")
     return (
-        p.where(F.col("p_name").contains("green"))
+        p.where(F.col("p_name").contains("gear"))
         .select(
             "p_partkey",
             "p_name",
@@ -957,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "norm_clean_names": norm_clean_names,
         "dup_group_names": dup_group_names,
         "part_substring_calibrated": part_substring_calibrated,
+        "lsa_parts_invariants": lsa_parts_invariants,
         "text_stats": text_stats,
         "text_quality_langid": text_quality_langid,
         "text_bpe_tokens": text_bpe_tokens,

@@ -67,8 +67,12 @@ def _tfidf_entries(
     norm = e.groupBy("_id").agg(
         F.sqrt(F.sum(F.col("_raw") * F.col("_raw"))).alias("_nrm")
     )
-    return e.join(norm, "_id").select(
-        "_id", "idx", (F.col("_raw") / F.col("_nrm")).alias("val")
+    # _nrm > 0 drops documents with no vocabulary gram (all-zero rows
+    # contribute nothing to the Gram matrix anyway)
+    return (
+        e.join(norm, "_id")
+        .where(F.col("_nrm") > 0)
+        .select("_id", "idx", (F.col("_raw") / F.col("_nrm")).alias("val"))
     )
 
 
@@ -150,9 +154,15 @@ def transform(
     norm = e.groupBy("_id").agg(
         F.sqrt(F.sum(F.col("_raw") * F.col("_raw"))).alias("_nrm")
     )
-    scaled = e.join(norm, "_id").select(
-        "_id",
-        F.transform("comp", lambda x: x * F.col("_raw") / F.col("_nrm")).alias("_c"),
+    scaled = (
+        e.join(norm, "_id")
+        .where(F.col("_nrm") > 0)
+        .select(
+            "_id",
+            F.transform("comp", lambda x: x * F.col("_raw") / F.col("_nrm")).alias(
+                "_c"
+            ),
+        )
     )
     agg = scaled.groupBy("_id").agg(
         F.array(*[F.sum(F.col("_c")[i]) for i in range(k)]).alias("lsa")

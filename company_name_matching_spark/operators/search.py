@@ -53,9 +53,15 @@ class SearchConfig:
     # 0.5·max-normalized BM25. The BM25 max is taken over the query's
     # CANDIDATES, not the whole corpus — with shared blocking the global
     # argmax doc is virtually always a candidate; documented divergence.
+    # "hybrid_lsa": the reference's LSA vectorizer option (its TruncatedSVD
+    # dense channel) — 0.5·tfidf-cosine + 0.5·LSA-space cosine, with the
+    # LSA model fit distributed on the corpus (operators/lsa.py).
     model: str = "fused"
     tfidf_weight: float = 0.5  # matcher.py:60
     bm25_weight: float = 0.5
+    lsa_weight: float = 0.5
+    lsa_components: int = 16
+    lsa_vocab: int = 512
     blocking: blocking.BlockingConfig = field(default_factory=blocking.BlockingConfig)
     scoring: scoring.ScoringConfig = field(default_factory=scoring.ScoringConfig)
 
@@ -131,6 +137,43 @@ def search_topk(
                 ),
             )
             .drop("bm25_norm")
+        )
+
+    if cfg.model == "hybrid_lsa":
+        # dense LSA channel: fit on the corpus (driver footprint = vocab²,
+        # corpus-size-free), project both sides, cosine in the latent space.
+        # Exact match-key pairs keep the 1.0 short-circuit as in hybrid_bm25.
+        from company_name_matching_spark.operators import lsa as lsa_mod
+        from company_name_matching_spark.operators.dedup import cosine_col
+
+        model = lsa_mod.fit(
+            c, "record_id", "match_key",
+            n_components=cfg.lsa_components, vocab_size=cfg.lsa_vocab,
+        )
+        cv = lsa_mod.transform(c, model, "record_id", "match_key").select(
+            F.col("record_id").alias("right_id"), F.col("lsa").alias("_r_lsa")
+        )
+        qv = lsa_mod.transform(q, model, "record_id", "match_key").select(
+            F.col("record_id").alias("left_id"), F.col("lsa").alias("_l_lsa")
+        )
+        scored = (
+            scored.join(qv, "left_id", "left")
+            .join(cv, "right_id", "left")
+            .withColumn(
+                "_lsa_cos",
+                F.when(
+                    F.col("_l_lsa").isNotNull() & F.col("_r_lsa").isNotNull(),
+                    cosine_col(F.col("_l_lsa"), F.col("_r_lsa")),
+                ).otherwise(F.lit(0.0)),
+            )
+            .withColumn(
+                "score",
+                F.when(F.col("score") >= 1.0, F.col("score")).otherwise(
+                    F.lit(cfg.tfidf_weight) * F.col("cos_sim")
+                    + F.lit(cfg.lsa_weight) * F.col("_lsa_cos")
+                ),
+            )
+            .drop("_l_lsa", "_r_lsa", "_lsa_cos")
         )
 
     # attach sides: query info + candidate (corpus) info

@@ -226,12 +226,21 @@ def build_oracles() -> dict[str, str]:
                    array_to_string(list_sort(list(p_name))[1:100], '|') AS original_names
             FROM part GROUP BY 1 ORDER BY 1
         """,
+        # Constant oracle: LSA must-hold invariants (factorization itself is
+        # pytest-verified vs exact numpy SVD — not SQL-expressible).
+        "lsa_parts_invariants": """
+            SELECT COUNT(*) AS n_parts,
+                   COUNT(*) AS n_embeddings,
+                   COUNT(*) AS n_norm_ok,
+                   true AS ortho_ok
+            FROM part
+        """,
         "part_substring_calibrated": """
             SELECT p_partkey, p_name,
                    ROUND(1.0 / (1.0 + exp(-((p_retailprice - 1500.0) / 200.0))), 6)
                        AS price_calib
             FROM part
-            WHERE p_name LIKE '%green%'
+            WHERE p_name LIKE '%gear%'
             ORDER BY p_partkey
         """,
         "text_stats": f"""

@@ -273,3 +273,23 @@ def test_search_hybrid_bm25_top1(spark, corpus_queries):
     # scores stay in [0,1] under the hybrid formula
     bad = res.where((F.col("score") < 0) | (F.col("score") > 1.0)).count()
     assert bad == 0
+
+
+def test_search_hybrid_lsa_top1(spark, corpus_queries):
+    """The reference's LSA vectorizer option as a dense search channel:
+    0.5·tfidf-cos + 0.5·LSA-space cosine (operators/lsa.py fit on the
+    corpus) must hold the same Top-1 floor as the fused default."""
+    corpus, queries = corpus_queries
+    res = search_topk(corpus, queries, SearchConfig(k=3, model="hybrid_lsa"))
+    top1 = res.where(F.col("rank") == 1).select("query_id", "company_id")
+    hits = (
+        queries.join(
+            top1.withColumnRenamed("company_id", "got"), "query_id", "left"
+        )
+        .groupBy("query_id", "target_id")
+        .agg(F.max(F.when(F.col("got") == F.col("target_id"), 1).otherwise(0)).alias("hit"))
+    )
+    acc = hits.agg(F.avg("hit").alias("acc")).collect()[0]["acc"]
+    assert acc >= 0.99, f"hybrid_lsa top-1 accuracy {acc:.4f}"
+    bad = res.where((F.col("score") < 0) | (F.col("score") > 1.0 + 1e-9)).count()
+    assert bad == 0
