@@ -157,3 +157,44 @@ def test_connected_components_star_and_cycle(spark):
     got = {r["record_id"]: r["cluster_id"] for r in labels.collect()}
     assert got[5] == got[1] == got[2] == got[3] == 1
     assert got[7] == got[8] == got[9] == 7
+
+
+def test_candidate_pairs_equals_naive_self_join(spark):
+    """The fused collect_set pair expansion (blocking.candidate_pairs) must
+    emit EXACTLY the pairs of the textbook blocked self-join over the same
+    filtered blocks — on a corpus with cross-channel overlap (pairs found by
+    both prefix and LSH band must appear once) and a hot-cap boundary."""
+    from company_name_matching_spark.operators import blocking, normalize
+
+    rows = []
+    # 30 near-duplicate variants of one name (well under the hot cap) +
+    # distinct names sharing tokens, + unrelated singletons
+    for i in range(30):
+        rows.append((f"u{i}", f"cong ty tnhh son ha {i % 3}"))
+    for i in range(10):
+        rows.append((f"v{i}", f"thuong mai dich vu hoa binh {i}"))
+    rows += [("w1", "doc nhat vo nhi"), ("w2", "khong giong ai ca")]
+    pages = spark.createDataFrame(rows, "pid string, text string")
+    names = normalize.normalize_mentions(pages, "pid", "text")
+    cfg = blocking.BlockingConfig()
+
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in blocking.candidate_pairs(names, cfg).collect()
+    }
+    blocks = blocking.filter_blocks(blocking.generate_blocks(names, cfg), cfg)
+    l, r = blocks.alias("l"), blocks.alias("r")
+    naive = {
+        (row["left_id"], row["right_id"])
+        for row in (
+            l.join(r, "block_key")
+            .where(F.col("l.record_id") < F.col("r.record_id"))
+            .select(
+                F.col("l.record_id").alias("left_id"),
+                F.col("r.record_id").alias("right_id"),
+            )
+            .dropDuplicates(["left_id", "right_id"])
+            .collect()
+        )
+    }
+    assert got == naive and len(got) > 0, f"sym diff: {got ^ naive}"
