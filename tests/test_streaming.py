@@ -111,3 +111,56 @@ def test_streaming_foreachbatch_end_to_end(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "pairs"))
     assert out.count() == 3  # 3 mutually-matching variants → 3 pairs
     assert set(out.columns) == {"left_id", "right_id", "batch_id"}
+
+
+def test_ingest_crash_between_blocks_and_names_recovers(spark, tmp_path):
+    """ADVICE r2 regression: foreachBatch is at-least-once, and the two
+    store appends are not atomic. Simulate the crash window — blocks
+    appended, names NOT — then replay the batch. The blocks-first write
+    order makes this state harmless: the replay's anti-join (keyed on the
+    names store) re-emits every record, the duplicate stored block rows
+    collapse in the pair dedup, and the final pair set equals a clean run's.
+    (The reverse order would mark records seen with no blocks persisted —
+    they could never pair with future batches.)"""
+    import shutil
+    from pathlib import Path
+
+    rows1 = [("u1", "CÔNG TY TNHH SƠN HÀ VN"), ("u2", "cty tnhh son ha vn")]
+    rows2 = [("u3", "CO.,LTD SON HA VN"), ("u4", "CP HOÀN TOÀN KHÁC")]
+
+    # clean reference run: both batches, no crash
+    clean = IncrementalLinker(str(tmp_path / "clean"))
+    clean_p1 = {
+        (r["left_id"], r["right_id"])
+        for r in clean.process_batch(_pages(spark, rows1), 0).collect()
+    }
+    clean_p2 = {
+        (r["left_id"], r["right_id"])
+        for r in clean.process_batch(_pages(spark, rows2), 1).collect()
+    }
+
+    # crashed store: run batch 1 fully, then reproduce the exact mid-batch
+    # crash state by copying ONLY the blocks dir (names append never ran)
+    staging = IncrementalLinker(str(tmp_path / "staging"))
+    staging.process_batch(_pages(spark, rows1), 0)
+    crash_dir = tmp_path / "crashed"
+    crash_dir.mkdir()
+    shutil.copytree(tmp_path / "staging" / "blocks", crash_dir / "blocks")
+    crashed = IncrementalLinker(str(crash_dir))
+
+    # replay batch 1 against the crash state: all records re-emit, pairs
+    # match the clean run exactly despite duplicated stored block rows
+    replay_p1 = {
+        (r["left_id"], r["right_id"])
+        for r in crashed.process_batch(_pages(spark, rows1), 1).collect()
+    }
+    assert replay_p1 == clean_p1
+    names = spark.read.parquet(str(crash_dir / "blocks").replace("blocks", "names"))
+    assert names.count() == 2  # every record landed exactly once
+
+    # future batches still pair against the recovered store
+    replay_p2 = {
+        (r["left_id"], r["right_id"])
+        for r in crashed.process_batch(_pages(spark, rows2), 2).collect()
+    }
+    assert replay_p2 == clean_p2
