@@ -242,16 +242,19 @@ def fold_accents(s: pd.Series) -> pd.Series:
     return _fillna(s).str.translate(_ACCENT_TRANSLATE)
 
 
-def clean_name(s: pd.Series, remove_stopwords: bool = True) -> pd.Series:
-    """Full cleaning pipeline; output is always diacritic-free.
-
-    Parity target: ``preprocess.py:146-217`` (clean_company_name). Steps:
-    NFC+lower → entity rules → functional rules → special-char strip →
-    (optional) two-pass stopword removal → accent fold → whitespace collapse.
-    """
+def _canonical_base(s: pd.Series) -> pd.Series:
+    """Shared prefix of clean_name and norm_key: NFC+lower → entity rules →
+    functional rules (the 53-rule ordered regex chain — the expensive part,
+    so callers that need both outputs run it once)."""
     s = nfc_lower(s)
     s = _apply_rules(s, ENTITY_RULES)
-    s = _apply_rules(s, FUNCTIONAL_RULES)
+    return _apply_rules(s, FUNCTIONAL_RULES)
+
+
+def _finish_clean(s: pd.Series, remove_stopwords: bool = True) -> pd.Series:
+    """clean_name's tail after the canonical base: special-char strip →
+    (optional) two-pass stopword removal → accent fold → whitespace
+    collapse."""
     s = s.str.replace(SPECIAL_CHAR_PATTERN, ' ', regex=True)
     if remove_stopwords:
         for pat in STOPWORDS:
@@ -264,6 +267,25 @@ def clean_name(s: pd.Series, remove_stopwords: bool = True) -> pd.Series:
     return s.str.replace(r'\s+', ' ', regex=True).str.strip()
 
 
+def clean_name(s: pd.Series, remove_stopwords: bool = True) -> pd.Series:
+    """Full cleaning pipeline; output is always diacritic-free.
+
+    Parity target: ``preprocess.py:146-217`` (clean_company_name). Steps:
+    NFC+lower → entity rules → functional rules → special-char strip →
+    (optional) two-pass stopword removal → accent fold → whitespace collapse.
+    """
+    return _finish_clean(_canonical_base(s), remove_stopwords)
+
+
+def clean_name_and_norm_key(s: pd.Series) -> tuple[pd.Series, pd.Series]:
+    """(clean_name(s), norm_key(s)) with the shared 53-rule canonical base
+    computed ONCE — halves the normalize stage's regex work versus calling
+    the two functions independently. Byte-equality with the independent
+    calls is pytest-asserted (tests/test_vnnorm.py)."""
+    base = _canonical_base(s)
+    return _finish_clean(base), fold_accents(base).str.strip()
+
+
 def norm_key(s: pd.Series) -> pd.Series:
     """Deduplication/blocking key: entity+functional canonicalized, accents
     folded, stopwords KEPT, special chars KEPT.
@@ -272,10 +294,7 @@ def norm_key(s: pd.Series) -> pd.Series:
     ``src/databricks/preprocessing/vietnamese_udfs.py:92-97`` (which differs
     from the matcher's norm_key — see SURVEY.md §1.3).
     """
-    s = nfc_lower(s)
-    s = _apply_rules(s, ENTITY_RULES)
-    s = _apply_rules(s, FUNCTIONAL_RULES)
-    return fold_accents(s).str.strip()
+    return fold_accents(_canonical_base(s)).str.strip()
 
 
 def matcher_norm_key(s: pd.Series) -> pd.Series:

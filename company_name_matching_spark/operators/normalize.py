@@ -39,11 +39,13 @@ _NORM_SCHEMA = StructType(
 
 @F.pandas_udf(_NORM_SCHEMA)
 def _normalize_udf(text: pd.Series) -> pd.DataFrame:
-    cleaned = vnnorm.clean_name(text)
+    # one 53-rule canonical pass shared by both outputs (the former
+    # clean_name + norm_key calls each re-ran the full chain)
+    cleaned, nkey = vnnorm.clean_name_and_norm_key(text)
     return pd.DataFrame(
         {
             "cleaned": cleaned,
-            "norm_key": vnnorm.norm_key(text),
+            "norm_key": nkey,
             # match_key re-applies only the alias layer on the cleaned string
             "match_key": vnnorm._apply_rules(cleaned, vnnorm.MATCH_ALIASES)
             .str.replace(r"\s+", " ", regex=True)

@@ -156,3 +156,26 @@ def test_live_diff_against_reference():
         assert ours_clean[i] == ref_clean, f"clean mismatch on {n!r}"
         assert ours_keep[i] == ref_keep, f"keep-sw mismatch on {n!r}"
         assert ours_key[i] == nk, f"norm_key mismatch on {n!r}"
+
+
+def test_fused_clean_and_norm_key_byte_equal():
+    """clean_name_and_norm_key (one shared canonical pass) must be
+    byte-identical to the independent clean_name / norm_key calls on the
+    golden corpus + tricky synthetics."""
+    import json
+    import pandas as pd
+    from pathlib import Path
+
+    from company_name_matching_spark.functions import vnnorm
+
+    golden = json.loads(
+        (Path(__file__).parent / "golden_norms.json").read_text()
+    )
+    texts = [g["raw"] for g in golden] + [
+        "", "  ", "CÔNG TY TNHH MTV ÁNH DƯƠNG - CN HÀ NỘI",
+        "cty cp -- xnk & thương mại 123", None,
+    ]
+    s = pd.Series(texts, dtype="object")
+    fused_clean, fused_key = vnnorm.clean_name_and_norm_key(s)
+    pd.testing.assert_series_equal(fused_clean, vnnorm.clean_name(s))
+    pd.testing.assert_series_equal(fused_key, vnnorm.norm_key(s))
