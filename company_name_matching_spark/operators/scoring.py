@@ -13,6 +13,11 @@ Feature split between JVM and Arrow:
   precomputed L2-normalized vectors — computed once per record, not per
   pair) and Jaro-Winkler. One UDF call per pair batch, columnar.
 
+Kernel similarities are computed once per DISTINCT match-key pair and
+joined back to record pairs (see :func:`score_pairs`) — on web corpora the
+same name pair recurs across many page pairs, and scoring cost should track
+unique names, not pages.
+
 IDF is a corpus-level Spark aggregation (``SURVEY.md`` A10): char-trigram
 vocabulary is intrinsically bounded (charset³), so the gram→(id, idf) dict is
 safely collected and broadcast regardless of corpus row count.
@@ -169,14 +174,20 @@ def score_pairs(
 ) -> DataFrame:
     """pairs(left_id, right_id) × features → scored pairs with ``is_match``.
 
-    Two-tier plan (the dominant cost at scale is moving the TF-IDF vectors
-    through the join and the Arrow boundary, not the kernels):
+    Three-tier plan (the dominant cost at scale is moving the TF-IDF
+    vectors through the join and the Arrow boundary, not the kernels):
 
-    1. join only the LIGHT features (match_key, entity_type, has_repeat);
-       pairs with equal match keys — the bulk of a dedup-heavy workload —
-       are decided right there (score 1.0) and never touch the vectors;
-    2. only the fuzzy remainder joins the HEAVY features (token arrays +
-       sparse TF-IDF vectors) and crosses into the Arrow UDF.
+    1. join only the LIGHT features (8-byte key id, entity_type,
+       has_repeat); pairs with equal match keys — the bulk of a dedup-heavy
+       workload — are decided right there (score 1.0) and never touch the
+       vectors;
+    2. the fuzzy remainder is deduplicated to DISTINCT oriented key pairs;
+       only those join the HEAVY features (key string + token arrays +
+       sparse TF-IDF vectors) and cross into the Arrow UDF — kernel cost
+       scales with unique name pairs, not page pairs;
+    3. kernel results join back to the record pairs, where the
+       record-level rules (repeat penalty, entity conflict, threshold)
+       apply.
     """
     cfg = cfg or ScoringConfig()
     light = featurized.withColumn("key_id", F.xxhash64("match_key")).select(
@@ -203,23 +214,42 @@ def score_pairs(
     )
 
     fuzzy = base.where(F.col("l_key_id") != F.col("r_key_id"))
-    heavy = featurized.select(*_HEAVY_COLS)
-    l_heavy = heavy.select([F.col(c).alias(f"lh_{c}") for c in _HEAVY_COLS])
-    r_heavy = heavy.select([F.col(c).alias(f"rh_{c}") for c in _HEAVY_COLS])
-    df = (
-        fuzzy.join(l_heavy, fuzzy.left_id == l_heavy.lh_record_id)
-        .join(r_heavy, fuzzy.right_id == r_heavy.rh_record_id)
-        .drop("lh_record_id", "rh_record_id")
+
+    # Every kernel similarity (jaccard / lev / cosine / JW) is a pure
+    # function of the ORIENTED match-key pair: tokens = split(match_key),
+    # TF-IDF vectors = tfidf_vector(match_key), lev/JW run on the keys
+    # themselves. Records sharing a key are interchangeable, so compute
+    # kernels ONCE per distinct (l_key_id, r_key_id) and join the results
+    # back to the record pairs — on duplicate-heavy web corpora the heavy
+    # join + Arrow volume shrinks by the duplication factor squared
+    # (record-level rules — repeat penalty, entity conflict — stay on the
+    # record pair below). Orientation is preserved (no least/greatest
+    # canonicalization) so every float matches the per-pair computation
+    # bit-for-bit.
+    ukp = fuzzy.select("l_key_id", "r_key_id").dropDuplicates()
+    kf = (
+        featurized.withColumn("key_id", F.xxhash64("match_key"))
+        .select("key_id", *[c for c in _HEAVY_COLS if c != "record_id"])
+        .dropDuplicates(["key_id"])
     )
+    l_kf = kf.select(
+        F.col("key_id").alias("l_key_id"),
+        *[F.col(c).alias(f"lh_{c}") for c in _HEAVY_COLS if c != "record_id"],
+    )
+    r_kf = kf.select(
+        F.col("key_id").alias("r_key_id"),
+        *[F.col(c).alias(f"rh_{c}") for c in _HEAVY_COLS if c != "record_id"],
+    )
+    k = ukp.join(l_kf, "l_key_id").join(r_kf, "r_key_id")
 
     inter = F.size(F.array_intersect("lh_tokens", "rh_tokens"))
     union = F.size(F.array_union("lh_tokens", "rh_tokens"))
-    df = df.withColumn(
+    k = k.withColumn(
         "jaccard",
         F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(0.0),
     )
     max_len = F.greatest(F.length("lh_match_key"), F.length("rh_match_key"))
-    df = df.withColumn(
+    k = k.withColumn(
         "lev_sim",
         F.when(
             max_len > 0,
@@ -227,11 +257,14 @@ def score_pairs(
             - F.levenshtein("lh_match_key", "rh_match_key").cast("double") / max_len,
         ).otherwise(0.0),
     )
-    df = df.withColumn("_sims", _pair_sims_udf(
+    k = k.withColumn("_sims", _pair_sims_udf(
         "lh_match_key", "rh_match_key",
         "lh_tg_idx", "lh_tg_val", "rh_tg_idx", "rh_tg_val"
-    )).select("*", F.col("_sims.cos_sim").alias("cos_sim"),
-              F.col("_sims.jw_sim").alias("jw_sim")).drop("_sims")
+    )).select("l_key_id", "r_key_id", "jaccard", "lev_sim",
+              F.col("_sims.cos_sim").alias("cos_sim"),
+              F.col("_sims.jw_sim").alias("jw_sim"))
+
+    df = fuzzy.join(k, ["l_key_id", "r_key_id"])
 
     fused = (
         F.lit(cfg.w_cosine) * F.col("cos_sim")
