@@ -263,6 +263,22 @@ def norm_clean_names(spark, sf_dir):
     )
 
 
+def dual_variants_parts(spark, sf_dir):
+    """F7: the reference's dual-variant generation (vietnamese_udfs.py:
+    111-148) — one array-returning vectorized UDF emitting
+    [cleaned, accent-folded-raw] per name, exploded into variant rows
+    (SURVEY U3 + B-explode shape). The array is staged in its own
+    projection before posexplode (Generate re-evaluates its generator
+    expression per output row)."""
+    from company_name_matching_spark.operators.normalize import dual_variants_udf
+
+    p = _t(spark, sf_dir, "part")
+    staged = p.select("p_partkey", dual_variants_udf("p_name").alias("_v"))
+    return staged.select(
+        "p_partkey", F.posexplode("_v").alias("variant_idx", "variant")
+    ).orderBy("p_partkey", "variant_idx")
+
+
 def lsa_parts_invariants(spark, sf_dir):
     """V3 LSA under a driver-checkable constant oracle. The factorization
     itself is verified by differential pytest vs exact dense numpy SVD
@@ -984,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_latest_per_user_type": events_latest_per_user_type,
         "norm_fold_accents": norm_fold_accents,
         "norm_clean_names": norm_clean_names,
+        "dual_variants_parts": dual_variants_parts,
         "dup_group_names": dup_group_names,
         "part_substring_calibrated": part_substring_calibrated,
         "lsa_parts_invariants": lsa_parts_invariants,

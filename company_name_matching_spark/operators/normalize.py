@@ -24,7 +24,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 from company_name_matching_spark.functions import vnnorm
 
@@ -58,6 +58,21 @@ def _normalize_udf(text: pd.Series) -> pd.DataFrame:
 def clean_name_udf(s: pd.Series) -> pd.Series:
     """Standalone vectorized clean_company_name UDF (SURVEY.md F5/U1)."""
     return vnnorm.clean_name(s)
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def dual_variants_udf(s: pd.Series) -> pd.Series:
+    """F7 parity (``vietnamese_udfs.py:111-148``): per name, the two search
+    variants ``[cleaned, accent-folded-raw]`` as one array-returning
+    vectorized UDF (SURVEY U3) — callers ``explode`` it into variant rows,
+    the reference's dual-variant indexing flow."""
+    cleaned = vnnorm.clean_name(s)
+    folded = (
+        vnnorm.fold_accents(vnnorm.nfc_lower(s))
+        .str.replace(r"\s+", " ", regex=True)
+        .str.strip()
+    )
+    return pd.Series([[a, b] for a, b in zip(cleaned, folded)])
 
 
 # Whole-token regexes (Java regex supports backreferences + lookarounds).

@@ -159,7 +159,11 @@ def _pair_sims_udf(
 # light features: enough to decide exactness + post-rules — no arrays, no
 # strings: match-key equality is decided on an 8-byte xxhash64 key id, so
 # the 12.4M-row pair base never carries the key strings through its
-# shuffles/scratch (the strings ride only the fuzzy-remainder heavy join)
+# shuffles/scratch (the strings ride only the fuzzy-remainder heavy join).
+# Collision budget: 64-bit ids expect ~n²/2⁶⁵ birthday collisions (≈3·10³
+# at 10^12 distinct names — error rate 3e-9, same class as the xxhash64
+# record ids used engine-wide). If that matters, widen to 128 bits with a
+# second-seed hash pair: (xxhash64(k), xxhash64(k, lit(1))).
 _LIGHT_COLS = ("record_id", "key_id", "entity_type", "has_repeat")
 # heavy features: key string + token arrays + sparse vectors, joined only
 # for fuzzy pairs

@@ -220,6 +220,18 @@ def build_oracles() -> dict[str, str]:
             SELECT p_partkey, {clean_name_sql('p_name')} AS cleaned
             FROM part ORDER BY p_partkey
         """,
+        "dual_variants_parts": f"""
+            SELECT p_partkey, CAST(0 AS INT) AS variant_idx,
+                   {clean_name_sql('p_name')} AS variant
+            FROM part
+            UNION ALL
+            SELECT p_partkey, CAST(1 AS INT) AS variant_idx,
+                   trim(regexp_replace(
+                       translate(lower(trim(p_name)), '{ACCENT_SRC}', '{ACCENT_DST}'),
+                       '\\s+', ' ', 'g')) AS variant
+            FROM part
+            ORDER BY p_partkey, variant_idx
+        """,
         "dup_group_names": f"""
             SELECT {clean_name_sql('p_name')} AS norm_key,
                    COUNT(*) AS group_size,
