@@ -127,3 +127,36 @@ def test_checkpoint_resume(spark, tmp_path):
         metrics.where(~F.col("resumed")).select("partitions_json").first()[0]
     )
     assert isinstance(first, list)
+
+
+def test_pipeline_degenerate_inputs(spark):
+    """Edge partitions a 100-TB run WILL hit: empty input, a single record,
+    an all-identical corpus, and rows that fail every validation filter —
+    each must flow through normalize→block→score→cluster without error and
+    with the a-priori-correct cluster/match counts."""
+    import datetime as dt
+
+    from company_name_matching_spark.sources import fixtures
+
+    def pages(rows):
+        data = [
+            (u, dt.datetime(2026, 1, 1), fixtures.render_html(t), t, "vi", "x", "k")
+            for u, t in rows
+        ]
+        return spark.createDataFrame(data, fixtures.PAGES_SCHEMA)
+
+    cases = {
+        "empty": ([], 0, 0),
+        "single": ([("u1", "CÔNG TY TNHH MỘT MÌNH")], 1, 0),
+        "identical": (
+            [(f"u{i}", "CÔNG TY TNHH GIỐNG NHAU") for i in range(5)], 1, 10
+        ),
+        "all_invalid": ([("u1", ""), ("u2", "##$%"), ("u3", "ab")], 0, 0),
+    }
+    for name, (rows, want_clusters, want_matches) in cases.items():
+        res = run_pipeline(spark, pages(rows))
+        got_c = res.clusters.select("cluster_id").distinct().count()
+        got_m = res.matches.count()
+        assert (got_c, got_m) == (want_clusters, want_matches), (
+            f"{name}: got clusters={got_c} matches={got_m}"
+        )
