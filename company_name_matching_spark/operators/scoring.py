@@ -231,10 +231,14 @@ def score_pairs(
     # canonicalization) so every float matches the per-pair computation
     # bit-for-bit.
     ukp = fuzzy.select("l_key_id", "r_key_id").dropDuplicates()
-    kf = (
+    # materialize the per-key feature table once: it feeds BOTH sides of the
+    # kernel join, and without a barrier each side re-runs the featurize
+    # Arrow UDF over the whole names table (plan showed 2× ArrowEvalPython)
+    kf = materialize(
         featurized.withColumn("key_id", F.xxhash64("match_key"))
         .select("key_id", *[c for c in _HEAVY_COLS if c != "record_id"])
-        .dropDuplicates(["key_id"])
+        .dropDuplicates(["key_id"]),
+        "key_features",
     )
     l_kf = kf.select(
         F.col("key_id").alias("l_key_id"),
