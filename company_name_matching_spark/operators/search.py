@@ -56,12 +56,19 @@ class SearchConfig:
     # "hybrid_lsa": the reference's LSA vectorizer option (its TruncatedSVD
     # dense channel) — 0.5·tfidf-cosine + 0.5·LSA-space cosine, with the
     # LSA model fit distributed on the corpus (operators/lsa.py).
+    # "cross_rerank": the reference's cross-encoder rerank shape — the
+    # lexical fused score shortlists, then a joint (query, candidate)
+    # scorer (encode.cross_encoder_scores, sigmoid-calibrated) refines the
+    # fuzzy scores. The scorer is the deterministic stand-in unless a real
+    # model factory is injected (no torch in this environment).
     model: str = "fused"
     tfidf_weight: float = 0.5  # matcher.py:60
     bm25_weight: float = 0.5
     lsa_weight: float = 0.5
     lsa_components: int = 16
     lsa_vocab: int = 512
+    cross_weight: float = 0.5
+    cross_scorer_factory: object = None  # encode.PairScorerFactory
     blocking: blocking.BlockingConfig = field(default_factory=blocking.BlockingConfig)
     scoring: scoring.ScoringConfig = field(default_factory=scoring.ScoringConfig)
 
@@ -174,6 +181,50 @@ def search_topk(
                 ),
             )
             .drop("_l_lsa", "_r_lsa", "_lsa_cos")
+        )
+
+    if cfg.model == "cross_rerank":
+        # joint-scorer rerank on the fuzzy candidates only (exact pairs keep
+        # the 1.0 short-circuit): cross-encoders are O(pairs), so the
+        # shortlist IS the blocked candidate set — at larger k budgets,
+        # pre-truncate with a window on the lexical score first.
+        from company_name_matching_spark.operators import encode
+
+        fuzzy_pairs = (
+            scored.where(F.col("score") < 1.0)
+            .select("left_id", "right_id")
+            .join(
+                q.select(
+                    F.col("record_id").alias("left_id"),
+                    F.col("match_key").alias("_q_text"),
+                ),
+                "left_id",
+            )
+            .join(
+                c.select(
+                    F.col("record_id").alias("right_id"),
+                    F.col("match_key").alias("_c_text"),
+                ),
+                "right_id",
+            )
+        )
+        ce = encode.cross_encoder_scores(
+            fuzzy_pairs,
+            scorer_factory=cfg.cross_scorer_factory,
+            left_id="left_id", right_id="right_id",
+            left_text="_q_text", right_text="_c_text",
+        ).withColumnRenamed("score", "_ce")
+        scored = (
+            scored.join(ce, ["left_id", "right_id"], "left")
+            .withColumn(
+                "score",
+                F.when(F.col("score") >= 1.0, F.col("score")).otherwise(
+                    F.lit(1.0 - cfg.cross_weight) * F.col("score")
+                    + F.lit(cfg.cross_weight)
+                    * F.coalesce(F.col("_ce"), F.lit(0.0))
+                ),
+            )
+            .drop("_ce")
         )
 
     # attach sides: query info + candidate (corpus) info

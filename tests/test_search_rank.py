@@ -293,3 +293,24 @@ def test_search_hybrid_lsa_top1(spark, corpus_queries):
     assert acc >= 0.99, f"hybrid_lsa top-1 accuracy {acc:.4f}"
     bad = res.where((F.col("score") < 0) | (F.col("score") > 1.0 + 1e-9)).count()
     assert bad == 0
+
+
+def test_search_cross_rerank_top1(spark, corpus_queries):
+    """The reference's cross-encoder rerank shape: lexical fused score
+    shortlists, the joint pair scorer (V11 seam, sigmoid-calibrated)
+    refines fuzzy candidates. Top-1 floor must hold with the deterministic
+    stand-in scorer."""
+    corpus, queries = corpus_queries
+    res = search_topk(corpus, queries, SearchConfig(k=3, model="cross_rerank"))
+    top1 = res.where(F.col("rank") == 1).select("query_id", "company_id")
+    hits = (
+        queries.join(
+            top1.withColumnRenamed("company_id", "got"), "query_id", "left"
+        )
+        .groupBy("query_id", "target_id")
+        .agg(F.max(F.when(F.col("got") == F.col("target_id"), 1).otherwise(0)).alias("hit"))
+    )
+    acc = hits.agg(F.avg("hit").alias("acc")).collect()[0]["acc"]
+    assert acc >= 0.99, f"cross_rerank top-1 accuracy {acc:.4f}"
+    bad = res.where((F.col("score") < 0) | (F.col("score") > 1.0 + 1e-9)).count()
+    assert bad == 0
