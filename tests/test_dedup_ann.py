@@ -221,3 +221,38 @@ def test_multimodal_plumbing(spark, docs):
     bad = b.withColumn("format", F.lit("jpeg"))
     with pytest.raises(Exception, match="NotImplementedError|decoder"):
         multimodal.extract_features(bad).collect()
+
+
+def test_prefix_ceil_guard_never_shortens_prefix():
+    """Property (hypothesis): the 1e-9 epsilon in ceil(t·n − ε) may only
+    ever LENGTHEN a prefix (safe — more candidates), never shorten it below
+    the exact-rational requirement (unsafe — lost pairs). Verified against
+    exact Fraction arithmetic over the float grid the engine actually uses;
+    same property for the PPJoin positional-filter α = ceil(t/(1+t)·s − ε).
+    (0.8·5 = 4.000000000000001 is the motivating case: naive ceil gives 5,
+    silently dropping every J==0.8 pair among 5-token docs.)"""
+    import math
+    from fractions import Fraction
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=2000, deadline=None)
+    @given(
+        t=st.floats(min_value=0.05, max_value=0.99,
+                    allow_nan=False, allow_infinity=False),
+        n=st.integers(min_value=1, max_value=2000),
+    )
+    def check(t, n):
+        exact = math.ceil(Fraction(t) * n)
+        guarded = math.ceil(t * n - 1e-9)
+        assert guarded <= exact, (t, n, guarded, exact)
+        # and the epsilon never over-relaxes by more than one integer step
+        assert guarded >= exact - 1, (t, n, guarded, exact)
+        s = 2 * n  # α operates on |A|+|B|
+        exact_a = math.ceil(Fraction(t) / (1 + Fraction(t)) * s)
+        guarded_a = math.ceil(t / (1.0 + t) * s - 1e-9)
+        assert guarded_a <= exact_a, (t, s, guarded_a, exact_a)
+        assert guarded_a >= exact_a - 1, (t, s, guarded_a, exact_a)
+
+    check()
