@@ -174,27 +174,36 @@ _OUT_COLS = ("left_id", "right_id", "jaccard", "lev_sim", "cos_sim", "jw_sim",
 
 
 def score_pairs(
-    featurized: DataFrame, pairs: DataFrame, cfg: ScoringConfig | None = None
+    names: DataFrame,
+    pairs: DataFrame,
+    idf: dict | None = None,
+    cfg: ScoringConfig | None = None,
 ) -> DataFrame:
-    """pairs(left_id, right_id) × features → scored pairs with ``is_match``.
+    """pairs(left_id, right_id) × names features → scored pairs with
+    ``is_match``. ``names`` is the normalize-stage output (record_id,
+    match_key, tokens, entity_type, has_repeat — NOT pre-featurized);
+    ``idf`` defaults to :func:`build_idf` over ``names``.
 
     Three-tier plan (the dominant cost at scale is moving the TF-IDF
     vectors through the join and the Arrow boundary, not the kernels):
 
     1. join only the LIGHT features (8-byte key id, entity_type,
-       has_repeat); pairs with equal match keys — the bulk of a dedup-heavy
-       workload — are decided right there (score 1.0) and never touch the
-       vectors;
+       has_repeat — no UDF anywhere near them); pairs with equal match
+       keys — the bulk of a dedup-heavy workload — are decided right there
+       (score 1.0) and never touch the vectors;
     2. the fuzzy remainder is deduplicated to DISTINCT oriented key pairs;
-       only those join the HEAVY features (key string + token arrays +
-       sparse TF-IDF vectors) and cross into the Arrow UDF — kernel cost
-       scales with unique name pairs, not page pairs;
+       the featurize Arrow UDF runs over DISTINCT match keys only (corpus
+       rows >> distinct names on web data), and only those key features
+       cross into the pair UDF — kernel cost scales with unique name
+       pairs, not page pairs;
     3. kernel results join back to the record pairs, where the
        record-level rules (repeat penalty, entity conflict, threshold)
        apply.
     """
     cfg = cfg or ScoringConfig()
-    light = featurized.withColumn("key_id", F.xxhash64("match_key")).select(
+    if idf is None:
+        idf = build_idf(names)
+    light = names.withColumn("key_id", F.xxhash64("match_key")).select(
         *_LIGHT_COLS
     )
     l_light = light.select([F.col(c).alias(f"l_{c}") for c in _LIGHT_COLS])
@@ -231,13 +240,15 @@ def score_pairs(
     # canonicalization) so every float matches the per-pair computation
     # bit-for-bit.
     ukp = fuzzy.select("l_key_id", "r_key_id").dropDuplicates()
-    # materialize the per-key feature table once: it feeds BOTH sides of the
-    # kernel join, and without a barrier each side re-runs the featurize
-    # Arrow UDF over the whole names table (plan showed 2× ArrowEvalPython)
+    # per-key feature table: dedup to DISTINCT match keys BEFORE the vector
+    # UDF (it is a pure function of the key), then materialize once — it
+    # feeds BOTH sides of the kernel join, and without a barrier each side
+    # would re-run the UDF (plan showed 2× ArrowEvalPython)
+    keys = names.select("match_key", "tokens").dropDuplicates(["match_key"])
     kf = materialize(
-        featurized.withColumn("key_id", F.xxhash64("match_key"))
-        .select("key_id", *[c for c in _HEAVY_COLS if c != "record_id"])
-        .dropDuplicates(["key_id"]),
+        featurize(keys, idf, cfg)
+        .withColumn("key_id", F.xxhash64("match_key"))
+        .select("key_id", *[c for c in _HEAVY_COLS if c != "record_id"]),
         "key_features",
     )
     l_kf = kf.select(

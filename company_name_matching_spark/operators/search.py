@@ -111,8 +111,7 @@ def search_topk(
     union_names = c.unionByName(q)
     idf = scoring.build_idf(c)  # corpus-side IDF, the reference's fit corpus
     search_scoring = dataclasses.replace(cfg.scoring, repeat_penalty=1.0)
-    feats = scoring.featurize(union_names, idf, search_scoring)
-    scored = scoring.score_pairs(feats, cand, search_scoring)
+    scored = scoring.score_pairs(union_names, cand, idf, search_scoring)
 
     if cfg.model == "hybrid_bm25":
         # reference 'tfidf-bm25' (matcher.py:366-376): replace the fused

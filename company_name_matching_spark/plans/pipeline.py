@@ -154,8 +154,7 @@ def run_pipeline(
 
     def _score():
         idf = scoring.build_idf(names)
-        featurized = scoring.featurize(names, idf, cfg.scoring)
-        return scoring.score_pairs(featurized, pairs, cfg.scoring)
+        return scoring.score_pairs(names, pairs, idf, cfg.scoring)
 
     matches = ck.run("score", _score)
 
