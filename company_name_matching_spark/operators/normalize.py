@@ -104,15 +104,29 @@ def validate_mentions(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def normalize_mentions(
-    df: DataFrame, id_col: str, text_col: str, keep_cols: tuple[str, ...] = ()
+    df: DataFrame, id_col: str, text_col: str, keep_cols: tuple[str, ...] = (),
+    id_domain: str = "",
 ) -> DataFrame:
     """Generic mention normalization: any (id, text) table → normalized
-    records with all scoring-side features. One shuffle-free map."""
+    records with all scoring-side features. One shuffle-free map.
+
+    CONTRACT: ``id_col`` must be unique within ``df`` — ``record_id`` is its
+    hash, and a duplicated id fans out every downstream per-record join
+    (the batch pipeline treats the url AS the page identity; the streaming
+    path enforces uniqueness with its anti-join). When two normalized
+    tables from DIFFERENT id spaces are unioned (e.g. search's corpus ∪
+    queries), give each a distinct ``id_domain`` — it is hashed with the id
+    so a corpus id that happens to equal a query id cannot collide."""
     df = validate_mentions(df, text_col)
     df = df.withColumn("_norm", _normalize_udf(F.col(text_col)))
+    rid = (
+        F.xxhash64(F.concat(F.lit(id_domain), F.col(id_col).cast("string")))
+        if id_domain
+        else F.xxhash64(id_col)  # default path: ids unchanged, bit-for-bit
+    )
     df = (
         df.select(
-            F.xxhash64(id_col).alias("record_id"),
+            rid.alias("record_id"),
             F.col(id_col).alias("source_id"),
             *keep_cols,
             F.col(text_col).alias("name"),

@@ -62,17 +62,24 @@ class ScoringConfig:
     ngram: int = 3
 
 
-def trigram_strings_col(col):
-    """array<string> char 3-grams, JVM-native (same gram definition as
-    ``similarity.char_ngrams``)."""
-    n_grams = F.greatest(F.length(col) - F.lit(2), F.lit(1))
+def trigram_strings_col(col, n: int = 3):
+    """array<string> char n-grams (default 3), JVM-native — THE single SQL
+    gram definition (same semantics as ``similarity.char_ngrams``;
+    ``blocking.trigram_hashes_col`` derives from it too)."""
+    n_grams = F.greatest(F.length(col) - F.lit(n - 1), F.lit(1))
     return F.transform(
-        F.sequence(F.lit(1), n_grams), lambda i: col.substr(i, F.lit(3))
+        F.sequence(F.lit(1), n_grams), lambda i: col.substr(i, F.lit(n))
     )
 
 
-def build_idf(names: DataFrame, string_col: str = "match_key") -> dict:
-    """Distributed document-frequency over char trigrams → {gram: (id, idf)}.
+def build_idf(
+    names: DataFrame, string_col: str = "match_key", n: int = 3
+) -> dict:
+    """Distributed document-frequency over char n-grams → {gram: (id, idf)}.
+
+    ``n`` must match the ScoringConfig.ngram the vectors will use — the
+    callers thread it through (a mismatched idf would silently zero the
+    cosine channel, since every vector lookup would miss).
 
     ``explode(array_distinct(...)) → groupBy(gram).count()`` is a bounded-
     cardinality aggregation (map-side partial agg + one small shuffle).
@@ -80,9 +87,9 @@ def build_idf(names: DataFrame, string_col: str = "match_key") -> dict:
     n_docs = names.count()
     df_rows = (
         names.select(
-            F.explode(F.array_distinct(trigram_strings_col(F.col(string_col)))).alias(
-                "gram"
-            )
+            F.explode(
+                F.array_distinct(trigram_strings_col(F.col(string_col), n))
+            ).alias("gram")
         )
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -202,7 +209,7 @@ def score_pairs(
     """
     cfg = cfg or ScoringConfig()
     if idf is None:
-        idf = build_idf(names)
+        idf = build_idf(names, n=cfg.ngram)
     light = names.withColumn("key_id", F.xxhash64("match_key")).select(
         *_LIGHT_COLS
     )
@@ -240,15 +247,27 @@ def score_pairs(
     # canonicalization) so every float matches the per-pair computation
     # bit-for-bit.
     ukp = fuzzy.select("l_key_id", "r_key_id").dropDuplicates()
-    # per-key feature table: dedup to DISTINCT match keys BEFORE the vector
-    # UDF (it is a pure function of the key), then materialize once — it
-    # feeds BOTH sides of the kernel join, and without a barrier each side
-    # would re-run the UDF (plan showed 2× ArrowEvalPython)
-    keys = names.select("match_key", "tokens").dropDuplicates(["match_key"])
-    kf = materialize(
-        featurize(keys, idf, cfg)
+    # per-key feature table: dedup to DISTINCT match keys, keep only keys
+    # that actually appear in a fuzzy pair (on a long-tail corpus most
+    # distinct names sit in dropped/singleton blocks and never pair — no
+    # reason to featurize them), THEN run the vector UDF and materialize
+    # once — it feeds BOTH sides of the kernel join, and without a barrier
+    # each side would re-run the UDF (plan showed 2× ArrowEvalPython)
+    fuzzy_key_ids = (
+        ukp.select(F.col("l_key_id").alias("key_id"))
+        .union(ukp.select(F.col("r_key_id").alias("key_id")))
+        .dropDuplicates()
+    )
+    keys = (
+        names.select("match_key", "tokens")
+        .dropDuplicates(["match_key"])
         .withColumn("key_id", F.xxhash64("match_key"))
-        .select("key_id", *[c for c in _HEAVY_COLS if c != "record_id"]),
+        .join(fuzzy_key_ids, "key_id", "left_semi")
+    )
+    kf = materialize(
+        featurize(keys, idf, cfg).select(
+            "key_id", *[c for c in _HEAVY_COLS if c != "record_id"]
+        ),
         "key_features",
     )
     l_kf = kf.select(

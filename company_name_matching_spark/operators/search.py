@@ -88,11 +88,21 @@ def search_topk(
     and all post-rules run as joins + windows.
     """
     cfg = cfg or SearchConfig()
-    c = normalize.normalize_mentions(corpus, corpus_id, corpus_text)
-    q = normalize.normalize_mentions(queries, query_id, query_text)
+    # distinct id domains: corpus and query ids live in different id spaces,
+    # and a corpus id that string-equals a query id must NOT collide to the
+    # same record_id (it would fan out the scoring joins)
+    c = normalize.normalize_mentions(corpus, corpus_id, corpus_text,
+                                     id_domain="c:")
+    q = normalize.normalize_mentions(queries, query_id, query_text,
+                                     id_domain="q:")
 
+    from company_name_matching_spark.sources.store import materialize
+
+    # barrier before filter_blocks: its size-agg + keep-join consume the
+    # blocks twice, and the MinHash signature generation must not run twice
     cb = blocking.filter_blocks(
-        blocking.generate_blocks(c, cfg.blocking), cfg.blocking, min_size=1
+        materialize(blocking.generate_blocks(c, cfg.blocking), "search_cblocks"),
+        cfg.blocking, min_size=1,
     )
     qb = blocking.generate_blocks(q, cfg.blocking)
     cand = (
@@ -109,8 +119,9 @@ def search_topk(
     # (matcher.py:627-638) and never penalizes the query side — applying both
     # would double-penalize fuzzy pairs (0.7225×).
     union_names = c.unionByName(q)
-    idf = scoring.build_idf(c)  # corpus-side IDF, the reference's fit corpus
     search_scoring = dataclasses.replace(cfg.scoring, repeat_penalty=1.0)
+    # corpus-side IDF, the reference's fit corpus
+    idf = scoring.build_idf(c, n=search_scoring.ngram)
     scored = scoring.score_pairs(union_names, cand, idf, search_scoring)
 
     if cfg.model == "hybrid_bm25":

@@ -153,7 +153,7 @@ def run_pipeline(
     pairs = ck.run("pairs", lambda: blocking.candidate_pairs(names, cfg.blocking))
 
     def _score():
-        idf = scoring.build_idf(names)
+        idf = scoring.build_idf(names, n=cfg.scoring.ngram)
         return scoring.score_pairs(names, pairs, idf, cfg.scoring)
 
     matches = ck.run("score", _score)

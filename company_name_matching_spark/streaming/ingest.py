@@ -107,8 +107,12 @@ class IncrementalLinker:
             F.broadcast(new_blocks.select("bucket", "block_key").dropDuplicates()),
             ["bucket", "block_key"],
         )
+        # dedupe BEFORE the size filter: a crash-replay append (blocks are
+        # written before names, by design) can leave duplicate stored rows,
+        # and filter_blocks counts rows — duplicated rows would inflate a
+        # block past the hot cap and silently drop legitimate pairs
         matched = blocking.filter_blocks(
-            matched.select("block_key", "record_id"), self.cfg
+            matched.select("block_key", "record_id").dropDuplicates(), self.cfg
         )
         pairs = (
             new_blocks.select("block_key", "record_id").alias("l")

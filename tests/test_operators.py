@@ -198,3 +198,21 @@ def test_candidate_pairs_equals_naive_self_join(spark):
         )
     }
     assert got == naive and len(got) > 0, f"sym diff: {got ^ naive}"
+
+
+def test_generate_blocks_rejects_unknown_channels(spark):
+    """A typo'd channel name must fail loudly, not silently lose recall."""
+    import pytest as _pytest
+
+    from company_name_matching_spark.operators import blocking, normalize
+
+    names = normalize.normalize_mentions(
+        spark.createDataFrame([("u1", "cong ty tnhh abc")], "pid string, text string"),
+        "pid", "text",
+    )
+    with _pytest.raises(ValueError, match="tokens"):
+        blocking.generate_blocks(
+            names, blocking.BlockingConfig(channels=("prefix", "lsh", "tokens"))
+        )
+    with _pytest.raises(ValueError):
+        blocking.generate_blocks(names, blocking.BlockingConfig(channels=()))
