@@ -276,9 +276,19 @@ def minhash_pairs(
     from company_name_matching_spark.operators.scoring import trigram_strings_col
     from company_name_matching_spark.sources.store import materialize
 
+    # verify features only for docs that actually appear in a candidate
+    # pair — on a long-tail corpus most docs share no band bucket and need
+    # no trigram extraction (same pruning score_pairs applies to its keys)
+    cand = materialize(cand, "mh_cand")
+    cand_ids = (
+        cand.select(F.col("left_id").alias("id"))
+        .union(cand.select(F.col("right_id").alias("id")))
+        .dropDuplicates()
+    )
     tg_arr = F.array_distinct(trigram_strings_col(F.col("ctext")))
     tg = materialize(
-        d.select("id", tg_arr.alias("tg_s"), F.size(tg_arr).alias("n"))
+        d.join(cand_ids, "id", "left_semi")
+        .select("id", tg_arr.alias("tg_s"), F.size(tg_arr).alias("n"))
         .select("id", F.expr("transform(tg_s, t -> xxhash64(t))").alias("tg"), "n"),
         "mh_tg",
     )
@@ -328,17 +338,52 @@ def _simhash_udf(text: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _cap_buckets(
+    b: DataFrame, key_col: str, max_bucket_size: int | None
+) -> DataFrame:
+    """Drop pathologically hot buckets before a bucket self-join (streaming
+    groupBy + unhinted equi-join, the same AQE-splittable shape as
+    ``blocking.filter_blocks``). A degenerate population — empty texts all
+    hashing to signature 0, zero vectors sharing one sign bucket — would
+    otherwise make the self-join O(n²) on that bucket. Dropping a capped
+    bucket trades its pairs for survival; the defaults sit far above any
+    honest near-dup bucket, so ordinary outputs are unaffected."""
+    if not max_bucket_size:
+        return b
+    sizes = b.groupBy(key_col).agg(F.count(F.lit(1)).alias("_bsz"))
+    keep = sizes.where(F.col("_bsz") <= F.lit(max_bucket_size)).select(key_col)
+    return b.join(keep, key_col)
+
+
 def simhash_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
     n_bands: int = 4,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """SimHash near-dup: band the 64-bit signature into n_bands 16-bit chunks
     (any pair within hamming ≤ n_bands-1 shares ≥1 exact chunk), bucket-join,
     verify true hamming distance with bit_count(xor)."""
-    d = docs.select(F.col(id_col).alias("id"), _simhash_udf(F.col(text_col)).alias("sh"))
+    if max_hamming > 63:
+        raise ValueError("max_hamming must be < 64 (the signature width)")
+    if max_hamming > n_bands - 1:
+        # the pigeonhole guarantee only covers hamming <= n_bands-1 — with
+        # too few bands a pair inside the requested radius can differ in
+        # every chunk and silently vanish from the candidates. Auto-raise
+        # to the smallest 64-divisor band count that covers the radius.
+        n_bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_hamming)
+    from company_name_matching_spark.sources.store import materialize
+
+    # one UDF pass: the signature table feeds the cap's size-agg, the keep
+    # join, and both sides of the pair self-join
+    d = materialize(
+        docs.select(
+            F.col(id_col).alias("id"), _simhash_udf(F.col(text_col)).alias("sh")
+        ),
+        "simhash_sigs",
+    )
     chunk_bits = 64 // n_bands
     chunks = F.array(
         *[
@@ -352,7 +397,9 @@ def simhash_pairs(
             for i in range(n_bands)
         ]
     )
-    b = d.select("id", "sh", F.explode(chunks).alias("bk"))
+    b = _cap_buckets(
+        d.select("id", "sh", F.explode(chunks).alias("bk")), "bk", max_bucket_size
+    )
     pairs = (
         b.alias("l")
         .join(b.alias("r"), "bk")
@@ -413,6 +460,7 @@ def embedding_neardup_pairs_lsh(
     dim: int = 64,
     n_planes: int = 8,
     n_tables: int = 4,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates with sign-LSH blocking — the scale
     path. Replaces the round-2 ``block_col="label"`` wiring (a
@@ -442,7 +490,18 @@ def embedding_neardup_pairs_lsh(
             *[_bucket_col(F.col(vec_col), tables[t], t) for t in range(n_tables)]
         ).alias("_keys"),
     )
-    b = keyed.select("id", "v", F.explode("_keys").alias("bucket"))
+    from company_name_matching_spark.sources.store import materialize
+
+    # materialize: the bucketed table feeds the cap's size-agg plus both
+    # join sides — without a barrier every consumer recomputes the
+    # n_tables×n_planes dot products per vector. The cap guards the
+    # degenerate case the expectation bound ignores (e.g. zero vectors all
+    # landing in one all-ones sign bucket → O(n²) on that bucket).
+    b = materialize(
+        keyed.select("id", "v", F.explode("_keys").alias("bucket")),
+        "emb_lsh_buckets",
+    )
+    b = _cap_buckets(b, "bucket", max_bucket_size)
     l = b.select(F.col("id").alias("left_id"), F.col("v").alias("l_v"), "bucket")
     r = b.select(F.col("id").alias("right_id"), F.col("v").alias("r_v"), "bucket")
     return (

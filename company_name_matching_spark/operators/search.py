@@ -91,12 +91,21 @@ def search_topk(
     # distinct id domains: corpus and query ids live in different id spaces,
     # and a corpus id that string-equals a query id must NOT collide to the
     # same record_id (it would fan out the scoring joins)
-    c = normalize.normalize_mentions(corpus, corpus_id, corpus_text,
-                                     id_domain="c:")
-    q = normalize.normalize_mentions(queries, query_id, query_text,
-                                     id_domain="q:")
-
     from company_name_matching_spark.sources.store import materialize
+
+    # materialize both normalized tables: c and q fan into blocking, IDF,
+    # scoring, and the output joins — without a barrier the corpus-wide
+    # normalization pandas UDF re-executes for every downstream action
+    c = materialize(
+        normalize.normalize_mentions(corpus, corpus_id, corpus_text,
+                                     id_domain="c:"),
+        "search_corpus",
+    )
+    q = materialize(
+        normalize.normalize_mentions(queries, query_id, query_text,
+                                     id_domain="q:"),
+        "search_queries",
+    )
 
     # barrier before filter_blocks: its size-agg + keep-join consume the
     # blocks twice, and the MinHash signature generation must not run twice
@@ -318,6 +327,20 @@ def search_topk(
         F.col("adj_score"),
     )
     reps = reps.withColumn("_best_agree", F.max(agree_score).over(wq))
+    # exactly ONE candidate is promoted (the reference moves a single row to
+    # the front): among rows TIED at the best agreeing score, take min cid —
+    # the first the reference's ordered scan would reach. Without this
+    # tiebreak every tied row would outrank the original top-1.
+    reps = reps.withColumn(
+        "_best_agree_cid",
+        F.min(
+            F.when(
+                agree_score.isNotNull()
+                & (F.col("adj_score") == F.col("_best_agree")),
+                F.col("cid"),
+            )
+        ).over(wq),
+    )
     promote = (
         F.col("q_entity").isNotNull()
         # null-safe: a typeless top-1 (NULL entity) still disagrees
@@ -325,6 +348,7 @@ def search_topk(
         & (F.col("_base_rank") >= 2)
         & (F.col("c_entity") == F.col("q_entity"))
         & (F.col("adj_score") == F.col("_best_agree"))
+        & (F.col("cid") == F.col("_best_agree_cid"))
         & ((F.col("_top_score") - F.col("adj_score")) <= ENTITY_GAP_THRESHOLD)
     )
     reps = reps.withColumn("_promoted", F.coalesce(promote, F.lit(False)))

@@ -27,8 +27,12 @@ N_BLOCK_BUCKETS = 64
 
 class IncrementalLinker:
     """foreachBatch handler: maintains cumulative names AND blocks stores
-    and emits candidate pairs involving at least one new record per
-    micro-batch.
+    and emits candidate pairs involving at least one BATCH record per
+    micro-batch (batch-vs-all ∪ batch-vs-batch). Store appends cover only
+    genuinely new records; pair emission covers the whole batch so that an
+    at-least-once replay re-emits (rather than loses) the pairs of a batch
+    whose sink write did not commit — the per-batch overwrite sink in
+    :func:`stream_pages` makes that re-emission idempotent.
 
     Per-batch cost is O(batch), not O(corpus): MinHash signatures are
     computed ONLY for the batch's new records and appended to a persistent
@@ -53,39 +57,58 @@ class IncrementalLinker:
         """Normalize the batch, merge into the stores (idempotent on
         record_id), and return new candidate pairs (new×all ∪ new×new)."""
         spark = pages_batch.sparkSession
-        new_names = normalize.normalize_pages(pages_batch)
+        # intra-batch dedup: the same url delivered twice in one micro-batch
+        # is one page (record_id = url hash) — without this, both rows would
+        # pass the store-level anti-join and persist duplicate record_ids,
+        # violating normalize's uniqueness contract
+        batch_names = normalize.normalize_pages(pages_batch).dropDuplicates(
+            ["record_id"]
+        )
+        # catch ONLY the missing-path error (AnalysisException
+        # PATH_NOT_FOUND), not Exception: a transient read failure must
+        # propagate — treating it as "first batch" would skip the
+        # idempotence anti-join and silently re-append the whole batch as
+        # duplicate store rows
+        from pyspark.errors import AnalysisException
+
         try:
             old_names = spark.read.parquet(self._names_path())
             seen = True
-        except Exception:
+        except AnalysisException:
             seen = False
 
-        if seen:
-            # idempotent merge: drop records already ingested (url-hash id)
-            new_names = new_names.join(
-                old_names.select("record_id"), "record_id", "left_anti"
-            )
         from company_name_matching_spark.sources.store import materialize
 
         # parquet barrier (not localCheckpoint): replayable on executor loss
-        new_names = materialize(new_names, "ingest_names")
+        batch_names = materialize(batch_names, "ingest_batch_names")
 
-        # block ONLY the new records; append their blocks to the store.
-        # Write order matters under at-least-once foreachBatch: blocks go
-        # FIRST. A crash between the two appends then leaves blocks-without-
-        # names — harmless, since the replay's anti-join (keyed on the names
-        # store) re-emits those records and the pair join runs through
-        # new_blocks either way (duplicate stored block rows collapse in the
-        # pair dropDuplicates). The reverse order (names first) would mark
-        # records as seen while their blocks were never persisted, so they
-        # could never pair with future batches.
-        new_blocks = (
-            blocking.generate_blocks(new_names, self.cfg)
+        # STORE appends cover only records not yet ingested (O(new data),
+        # old files untouched) — but PAIR emission below uses the FULL
+        # batch, seen or not: foreachBatch is at-least-once, and a crash
+        # after the names append but before the sink write would otherwise
+        # make the replay see every record as "already ingested" and emit
+        # zero pairs, losing them forever (the sink makes the re-emission
+        # idempotent — see stream_pages). Blocks go before names so a crash
+        # between the two appends leaves only harmless blocks-without-names
+        # (duplicate stored block rows are deduped before the size filter).
+        new_names = batch_names
+        if seen:
+            new_names = batch_names.join(
+                old_names.select("record_id"), "record_id", "left_anti"
+            )
+            new_names = materialize(new_names, "ingest_names")
+        batch_blocks = (
+            blocking.generate_blocks(batch_names, self.cfg)
             .withColumn(
                 "bucket", F.pmod(F.xxhash64("block_key"), F.lit(N_BLOCK_BUCKETS))
             )
         )
-        new_blocks = materialize(new_blocks, "ingest_blocks")
+        batch_blocks = materialize(batch_blocks, "ingest_blocks")
+        new_blocks = batch_blocks
+        if seen:
+            new_blocks = batch_blocks.join(
+                new_names.select("record_id"), "record_id", "left_semi"
+            )
         new_blocks.write.mode("append").partitionBy("bucket").parquet(
             self._blocks_path()
         )
@@ -94,7 +117,7 @@ class IncrementalLinker:
         # bounded driver-side metadata: the batch's bucket ids (≤64 values)
         # → static partition pruning of the stored blocks table
         buckets = [
-            r["bucket"] for r in new_blocks.select("bucket").distinct().collect()
+            r["bucket"] for r in batch_blocks.select("bucket").distinct().collect()
         ]
         stored = spark.read.parquet(self._blocks_path()).where(
             F.col("bucket").isin(buckets)
@@ -104,7 +127,7 @@ class IncrementalLinker:
         # subset: all stored rows of a matched key are present, so per-key
         # counts equal true block sizes
         matched = stored.join(
-            F.broadcast(new_blocks.select("bucket", "block_key").dropDuplicates()),
+            F.broadcast(batch_blocks.select("bucket", "block_key").dropDuplicates()),
             ["bucket", "block_key"],
         )
         # dedupe BEFORE the size filter: a crash-replay append (blocks are
@@ -115,7 +138,7 @@ class IncrementalLinker:
             matched.select("block_key", "record_id").dropDuplicates(), self.cfg
         )
         pairs = (
-            new_blocks.select("block_key", "record_id").alias("l")
+            batch_blocks.select("block_key", "record_id").alias("l")
             .join(matched.alias("r"), "block_key")
             .where(F.col("l.record_id") != F.col("r.record_id"))
             .select(
@@ -145,8 +168,15 @@ def stream_pages(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         pairs = linker.process_batch(batch_df, batch_id)
-        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            pairs_sink_dir
+        # IDEMPOTENT per-batch sink (the standard foreachBatch pattern): a
+        # replayed batch OVERWRITES its own directory instead of appending,
+        # so at-least-once delivery yields exactly-once pair files. Combined
+        # with full-batch pair emission in process_batch, a crash anywhere
+        # between the store appends and this write is recovered losslessly.
+        # batch_id lives in the hive partition dir, not the data files
+        # (readers of pairs_sink_dir recover it via partition discovery)
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_sink_dir}/batch_id={batch_id}"
         )
 
     writer = source_df.writeStream.foreachBatch(handle).option(

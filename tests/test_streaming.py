@@ -34,11 +34,14 @@ def test_incremental_linker(spark, tmp_path):
     ids = spark.read.parquet(f"{store}/names")
     assert ids.count() == 4
 
-    # replay batch 2 (at-least-once delivery) → idempotent: no new names,
-    # and pair output only involves previously-known records (no dupes added)
+    # replay batch 2 (at-least-once delivery) → stores stay idempotent (no
+    # new names/blocks) and the SAME pair set is re-emitted — full-batch
+    # emission is what makes a crash between the store appends and the sink
+    # commit recoverable (the per-batch overwrite sink dedups the replay)
+    pair_set = {(r["left_id"], r["right_id"]) for r in p2.collect()}
     p2b = linker.process_batch(b2, 2)
     assert spark.read.parquet(f"{store}/names").count() == 4
-    assert p2b.count() == 0  # nothing new → no new-vs-all pairs
+    assert {(r["left_id"], r["right_id"]) for r in p2b.collect()} == pair_set
 
 
 def test_incremental_blocking_never_rescans_history(spark, tmp_path):
@@ -164,3 +167,32 @@ def test_ingest_crash_between_blocks_and_names_recovers(spark, tmp_path):
         for r in crashed.process_batch(_pages(spark, rows2), 2).collect()
     }
     assert replay_p2 == clean_p2
+
+
+def test_pairs_sink_idempotent_under_replay(spark, tmp_path):
+    """The crash the round-3 review flagged: names appended, sink write NOT
+    committed, batch replayed. Full-batch pair emission + the per-batch
+    overwrite sink must converge to exactly one copy of the batch's pairs,
+    no matter how many times the batch is replayed."""
+    store = str(tmp_path / "store")
+    sink = str(tmp_path / "pairs")
+    linker = IncrementalLinker(store)
+    b1 = _pages(spark, [("u1", "CÔNG TY TNHH SƠN HÀ VN"),
+                        ("u2", "cty tnhh son ha vn"),
+                        ("u3", "TNHH SON HA VN")])
+
+    def fire(batch_id):
+        p = linker.process_batch(b1, batch_id)
+        p.write.mode("overwrite").parquet(f"{sink}/batch_id={batch_id}")
+
+    fire(0)
+    first = {(r["left_id"], r["right_id"])
+             for r in spark.read.parquet(sink).collect()}
+    assert len(first) == 3  # 3 mutually-matching variants
+    fire(0)  # replay after the crash window — same batch id
+    fire(0)  # and again
+    again = {(r["left_id"], r["right_id"])
+             for r in spark.read.parquet(sink).collect()}
+    assert again == first
+    assert spark.read.parquet(sink).count() == 3  # no duplicate rows
+    assert spark.read.parquet(f"{store}/names").count() == 3  # stores stable
