@@ -113,7 +113,7 @@ def bm25_scores(
 def bm25_pair_scores(
     corpus: DataFrame,
     queries: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None,
     id_col: str = "record_id",
     tokens_col: str = "tokens",
     k1: float = K1,
@@ -122,7 +122,8 @@ def bm25_pair_scores(
 ) -> DataFrame:
     """BM25 of (query, doc) for an explicit candidate-pair list — the
     retrieval channel of the reference's tfidf+BM25 hybrid
-    (``matcher.py:366-376``) re-expressed as distributed posting joins.
+    (``matching/matcher.py:366-376``) re-expressed as distributed posting
+    joins.
 
     ``pairs`` is (left_id=query record, right_id=corpus record). Corpus
     statistics (df, avgdl, N, the rank_bm25 epsilon·avg_idf floor) come
@@ -131,6 +132,12 @@ def bm25_pair_scores(
     pair list — never corpus × vocab. Query-term multiplicity is preserved
     (rank_bm25 iterates duplicates). Returns (left_id, right_id, bm25)
     for pairs with ≥1 matching term.
+
+    ``pairs=None`` scores every (query, doc) pair sharing ≥1 term — the
+    reference's ``get_scores`` over the whole corpus. Per-query cost is
+    Σ_{t∈q} df(t) posting rows (a skewed equi-join AQE can split), NOT
+    corpus × queries; used by :func:`bm25_query_max` for corpus-wide
+    max normalization.
     """
     c_toks = corpus.select(
         F.col(id_col).alias("doc"), F.explode(F.col(tokens_col)).alias("term")
@@ -140,7 +147,10 @@ def bm25_pair_scores(
     n_docs = corpus.count()
     avgdl = float(doclens.agg(F.avg("dl")).collect()[0][0] or 0.0)
     if n_docs == 0 or avgdl <= 0.0:
-        return pairs.select(
+        empty = pairs if pairs is not None else corpus.select(
+            F.col(id_col).alias("left_id"), F.col(id_col).alias("right_id")
+        )
+        return empty.select(
             "left_id", "right_id", F.lit(0.0).alias("bm25")
         ).where(F.lit(False))
 
@@ -168,10 +178,22 @@ def bm25_pair_scores(
         .groupBy("left_id", "term")
         .agg(F.count(F.lit(1)).alias("qtf"))
     )
+    if pairs is not None:
+        matched = (
+            pairs.select("left_id", "right_id")
+            .join(q_terms, "left_id")
+            .join(
+                postings.withColumnRenamed("doc", "right_id"),
+                ["right_id", "term"],
+            )
+        )
+    else:
+        # all matching docs per query: postings equi-join on term alone
+        matched = q_terms.join(
+            postings.withColumnRenamed("doc", "right_id"), "term"
+        )
     return (
-        pairs.select("left_id", "right_id")
-        .join(q_terms, "left_id")
-        .join(postings.withColumnRenamed("doc", "right_id"), ["right_id", "term"])
+        matched
         .join(idf, "term")
         .join(doclens.withColumnRenamed("doc", "right_id"), "right_id")
         .withColumn(
@@ -190,4 +212,32 @@ def bm25_pair_scores(
                 F.sum(F.col("contrib").cast("decimal(30,12)")).cast("double"), 6
             ).alias("bm25")
         )
+    )
+
+
+def bm25_query_max(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "record_id",
+    tokens_col: str = "tokens",
+    k1: float = K1,
+    b: float = B,
+    epsilon: float = EPSILON,
+) -> DataFrame:
+    """Per-query CORPUS-WIDE BM25 maximum — the reference's normalizer
+    (``matching/matcher.py:371-373``: ``bm25_scores_raw.max()`` over
+    ``get_scores`` on the full corpus, not just blocked candidates).
+
+    Returns (left_id, bm25_max) for queries with ≥1 term matching any doc;
+    docs sharing no term score 0, so this max equals the full-corpus max
+    whenever it is positive — exactly the case where the reference divides.
+    Cost: Σ_{t∈q} df(t) posting rows per query (hot legal-form terms are a
+    skewed but AQE-splittable equi-join), corpus-size-bounded per query —
+    the price of the reference's own normalization semantics.
+    """
+    all_scores = bm25_pair_scores(
+        corpus, queries, None, id_col, tokens_col, k1, b, epsilon
+    )
+    return all_scores.groupBy("left_id").agg(
+        F.max("bm25").alias("bm25_max")
     )

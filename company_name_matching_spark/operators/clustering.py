@@ -10,9 +10,11 @@ The reference never materializes the match graph (its transitive-entity
 notion is only exact norm-key grouping, ``matcher.py:242-263``); this stage
 is the scale path that generalizes it to fuzzy edges.
 
-Each round localCheckpoints the edge set: truncates the join lineage (plan
-growth is the classic iterative-Spark failure mode) and gives a cheap
-convergence checksum.
+Each round materializes the edge set to a parquet barrier
+(:func:`company_name_matching_spark.sources.store.materialize`): truncates the join
+lineage (plan growth is the classic iterative-Spark failure mode) and gives a
+cheap convergence checksum. (``localCheckpoint`` was measured slower — the
+InMemoryRelation scan contends at high local parallelism.)
 """
 
 from __future__ import annotations

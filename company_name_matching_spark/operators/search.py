@@ -42,6 +42,11 @@ def confidence_tier(score_col):
     )
 
 
+# a typo'd model name must fail loudly, not silently run the default fused
+# scoring (same failure class as blocking-channel validation, ADVICE r4)
+_KNOWN_MODELS = frozenset({"fused", "hybrid_bm25", "hybrid_lsa", "cross_rerank"})
+
+
 @dataclass
 class SearchConfig:
     k: int = 5
@@ -50,9 +55,8 @@ class SearchConfig:
     # engine's default, Top-1 100% on the reference corpus.
     # "hybrid_bm25": the reference's published headline config
     # (matcher.py:366-376, model 'tfidf-bm25'): 0.5·tfidf-cosine +
-    # 0.5·max-normalized BM25. The BM25 max is taken over the query's
-    # CANDIDATES, not the whole corpus — with shared blocking the global
-    # argmax doc is virtually always a candidate; documented divergence.
+    # 0.5·max-normalized BM25, with the max over the whole corpus per
+    # query exactly as the reference (see bm25_corpus_max below).
     # "hybrid_lsa": the reference's LSA vectorizer option (its TruncatedSVD
     # dense channel) — 0.5·tfidf-cosine + 0.5·LSA-space cosine, with the
     # LSA model fit distributed on the corpus (operators/lsa.py).
@@ -64,6 +68,11 @@ class SearchConfig:
     model: str = "fused"
     tfidf_weight: float = 0.5  # matcher.py:60
     bm25_weight: float = 0.5
+    # True (default) = reference parity: BM25 normalized by the per-query
+    # max over the WHOLE corpus (matcher.py:371-373), so reference-derived
+    # thresholds transfer. False = normalize over blocked candidates only
+    # (cheaper at extreme scale; thresholds become engine-specific).
+    bm25_corpus_max: bool = True
     lsa_weight: float = 0.5
     lsa_components: int = 16
     lsa_vocab: int = 512
@@ -88,6 +97,11 @@ def search_topk(
     and all post-rules run as joins + windows.
     """
     cfg = cfg or SearchConfig()
+    if cfg.model not in _KNOWN_MODELS:
+        raise ValueError(
+            f"unknown SearchConfig.model {cfg.model!r}; "
+            f"expected one of {sorted(_KNOWN_MODELS)}"
+        )
     # distinct id domains: corpus and query ids live in different id spaces,
     # and a corpus id that string-equals a query id must NOT collide to the
     # same record_id (it would fan out the scoring joins)
@@ -143,10 +157,20 @@ def search_topk(
         from company_name_matching_spark.operators import bm25 as bm25_mod
 
         b = bm25_mod.bm25_pair_scores(c, q, scored.select("left_id", "right_id"))
-        wq_max = Window.partitionBy("left_id")
+        if cfg.bm25_corpus_max:
+            # reference parity (matcher.py:371-373): normalize by the
+            # per-query max over the WHOLE corpus, so min_score thresholds
+            # and confidence tiers transfer from the reference unchanged.
+            b = b.join(bm25_mod.bm25_query_max(c, q), "left_id", "left")
+            b = b.withColumn("_bmax", F.coalesce(F.col("bm25_max"), F.lit(0.0)))
+        else:
+            # scale opt-out: max over blocked candidates only (no per-query
+            # corpus-wide posting scan); absolute scores can inflate when
+            # the global argmax doc is outside the block — use
+            # engine-calibrated thresholds with this setting.
+            wq_max = Window.partitionBy("left_id")
+            b = b.withColumn("_bmax", F.max("bm25").over(wq_max))
         b = b.withColumn(
-            "_bmax", F.max("bm25").over(wq_max)
-        ).withColumn(
             "bm25_norm",
             F.when(F.col("_bmax") > 0, F.col("bm25") / F.col("_bmax")).otherwise(
                 F.lit(0.0)

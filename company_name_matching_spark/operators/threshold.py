@@ -8,12 +8,21 @@ records × a literal threshold dimension (a broadcast crossJoin — the
 threshold list is O(50) rows), then one groupBy. The records table itself
 never leaves the executors; only the O(|thresholds|) sweep table does.
 
-Metric semantics preserved exactly (analyze_threshold.py:53-67):
+Metric FORMULAS preserved exactly (analyze_threshold.py:53-67):
 
 * coverage  = answered / total · 100
 * precision = correct_answered / answered · 100 (0 when nothing answered)
 * F0.5      = 1.25·P·C / (0.25·P + C) — weights precision 2× over coverage
 * a query with no results counts as (score 0.0, incorrect)
+
+Correctness labeling is NOT bit-identical to the reference on score ties:
+the reference scores only ``results[0]`` (its in-memory sort order, which
+is not reproducible cross-engine), so :func:`search_top1_records` defaults
+to tie-as-rank-1 (target anywhere among rank-1 rows counts correct,
+evaluate_matching.py:53-61) — on duplicate-heavy corpora this reports
+precision ≥ the reference's. Pass ``tie_policy="first"`` for strict
+single-row semantics under the engine's deterministic tiebreak
+(min company_id among rank-1 rows).
 """
 
 from __future__ import annotations
@@ -28,12 +37,28 @@ def search_top1_records(
     queries: DataFrame,
     target_col: str = "target_id",
     query_id: str = "query_id",
+    tie_policy: str = "any",
 ) -> DataFrame:
     """(query_id, top1_score, is_correct) from ``search_topk`` output + a
-    labeled query table. Tie-as-rank-1 semantics: correct if the target
-    appears among rank-1 rows (evaluate_matching.py:53-61). Queries with no
-    results at all → (0.0, false) (analyze_threshold.py:49-50)."""
-    top1 = results.where(F.col("rank") == 1).groupBy(query_id).agg(
+    labeled query table. Queries with no results at all → (0.0, false)
+    (analyze_threshold.py:49-50).
+
+    ``tie_policy="any"`` (default): correct if the target appears among
+    rank-1 rows (evaluate_matching.py:53-61). ``"first"``: the reference's
+    ``results[0]`` shape — exactly one rank-1 row counts, chosen by the
+    engine's deterministic tiebreak (min company_id); see module header.
+    """
+    if tie_policy not in ("any", "first"):
+        raise ValueError(f"unknown tie_policy {tie_policy!r}")
+    rank1 = results.where(F.col("rank") == 1)
+    if tie_policy == "first":
+        rank1 = rank1.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy("company_id")
+            ),
+        ).where(F.col("_rn") == 1)
+    top1 = rank1.groupBy(query_id).agg(
         F.max("score").alias("top1_score"),
         F.collect_set("company_id").alias("_got"),
     )

@@ -114,7 +114,13 @@ class ParquetCatalog:
             dirs = [new_dir]
         meta["snapshots"].append(
             {"id": snap, "ts": time.time(), "op": mode, "dirs": dirs,
-             "partition_by": partition_by or []}
+             "partition_by": partition_by or [],
+             # authoritative read schema (Iceberg keeps schema in table
+             # metadata): read() pins every root to it, so partition-column
+             # TYPE inference never runs per-root — values like '01' vs
+             # '1a' across appends can't infer different types and break
+             # or silently widen the union (ADVICE r4)
+             "schema_json": df.schema.json()}
         )
         meta["current"] = snap
         self._commit(name, meta)
@@ -130,16 +136,31 @@ class ParquetCatalog:
         snapshot_meta = self._snapshot(meta, snap)
         dirs = snapshot_meta["dirs"]
         paths = [str(self.root / name / d) for d in dirs]
+        # the manifest's write-time schema is authoritative (Iceberg keeps
+        # schema in table metadata): pinning it means partition-column TYPE
+        # inference never runs, so values like '01' vs '1a' across appends
+        # can't infer different types per root and break or silently widen
+        # the union — and read-back types always equal written types
+        # (ADVICE r4). Pre-r4 manifests lack it → legacy inference.
+        schema_json = snapshot_meta.get("schema_json")
+        pinned = None
+        if schema_json:
+            from pyspark.sql.types import StructType
+
+            pinned = StructType.fromJson(json.loads(schema_json))
         if snapshot_meta.get("partition_by") and len(paths) > 1:
             # each data dir is its own hive-partitioned root; a multi-path
-            # read has no single basePath, so union per-root scans (schema
-            # identical by the append-spec invariant enforced in write())
+            # read has no single basePath, so union per-root scans
             from functools import reduce
 
+            if pinned is None:  # pre-r4 manifest: first root decides
+                pinned = spark.read.parquet(paths[0]).schema
             return reduce(
-                DataFrame.unionByName, [spark.read.parquet(p) for p in paths]
+                DataFrame.unionByName,
+                [spark.read.schema(pinned).parquet(p) for p in paths],
             )
-        return spark.read.parquet(*paths)
+        reader = spark.read.schema(pinned) if pinned is not None else spark.read
+        return reader.parquet(*paths)
 
     def compact(self, spark: SparkSession, name: str,
                 target_partitions: int | None = None,

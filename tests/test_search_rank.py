@@ -314,3 +314,81 @@ def test_search_cross_rerank_top1(spark, corpus_queries):
     assert acc >= 0.99, f"cross_rerank top-1 accuracy {acc:.4f}"
     bad = res.where((F.col("score") < 0) | (F.col("score") > 1.0 + 1e-9)).count()
     assert bad == 0
+
+
+def test_search_unknown_model_raises(spark):
+    """A typo'd model name must fail loudly (ADVICE r4), not silently run
+    the default fused scoring."""
+    corpus = spark.createDataFrame(
+        [("A", "CÔNG TY TNHH SAO MAI")], "company_id string, name string"
+    )
+    queries = spark.createDataFrame(
+        [("Q1", "sao mai")], "query_id string, query_text string"
+    )
+    with pytest.raises(ValueError, match="hybrid-bm25"):
+        search_topk(corpus, queries, SearchConfig(model="hybrid-bm25"))
+
+
+def test_bm25_query_max_is_corpus_wide(spark):
+    """bm25_query_max (the reference's matcher.py:371-373 normalizer) must
+    equal the max of bm25_pair_scores over the FULL query×corpus cross —
+    including docs a blocked candidate list would exclude."""
+    from company_name_matching_spark.operators import bm25
+
+    corpus = spark.createDataFrame(
+        [
+            (1, ["sao", "mai", "xnk"]),
+            (2, ["sao", "mai"]),
+            (3, ["xnk", "xnk", "toan", "cau"]),  # dup term: qtf/tf multiplicity
+            (4, ["binh", "minh"]),
+            (5, ["an", "phat"]),  # keeps df("xnk")=2 < N/2 → positive idf
+        ],
+        "record_id bigint, tokens array<string>",
+    )
+    queries = spark.createDataFrame(
+        [(10, ["sao", "mai"]), (11, ["xnk", "xnk"]), (12, ["khong", "co"])],
+        "record_id bigint, tokens array<string>",
+    )
+    cross = queries.select(F.col("record_id").alias("left_id")).crossJoin(
+        corpus.select(F.col("record_id").alias("right_id"))
+    )
+    full = bm25.bm25_pair_scores(corpus, queries, cross)
+    expected = {
+        r["left_id"]: r["m"]
+        for r in full.groupBy("left_id").agg(F.max("bm25").alias("m")).collect()
+    }
+    got = {r["left_id"]: r["bm25_max"] for r in bm25.bm25_query_max(corpus, queries).collect()}
+    assert got == expected and len(got) == 2  # query 12 matches nothing
+    # and the corpus max genuinely exceeds a candidate-restricted max when
+    # the argmax doc is excluded from the candidate list
+    restricted = bm25.bm25_pair_scores(
+        corpus,
+        queries,
+        cross.where(~((F.col("left_id") == 11) & (F.col("right_id") == 3))),
+    )
+    r_max = {
+        r["left_id"]: r["m"]
+        for r in restricted.groupBy("left_id").agg(F.max("bm25").alias("m")).collect()
+    }
+    assert got[11] > r_max[11]
+
+
+def test_catalog_partitioned_read_pins_written_schema(spark, tmp_path):
+    """Partition-column types must come from the write-time schema, not
+    per-root inference (ADVICE r4): a string partition value like '01' in
+    one append and '1a' in another would infer int vs string per root and
+    break (or silently widen) the union."""
+    from company_name_matching_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(str(tmp_path / "catsp"))
+    df1 = spark.createDataFrame([(1, "01")], "id long, part string")
+    cat.write("t", df1, partition_by=["part"])
+    df2 = spark.createDataFrame([(2, "1a")], "id long, part string")
+    cat.write("t", df2, mode="append")
+    got = cat.read(spark, "t")
+    assert dict(got.dtypes)["part"] == "string"
+    assert {(r["id"], r["part"]) for r in got.collect()} == {(1, "01"), (2, "1a")}
+    # time travel to the first snapshot keeps the written type too
+    first = cat.read(spark, "t", snapshot=0)
+    assert dict(first.dtypes)["part"] == "string"
+    assert first.collect()[0]["part"] == "01"

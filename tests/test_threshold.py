@@ -68,3 +68,36 @@ def test_top1_partner_records(spark):
     assert recs[2]["top1_score"] == 0.9 and recs[2]["is_correct"] is True
     # qid 4 has no pairs → (0.0, False)
     assert recs[4]["top1_score"] == 0.0 and recs[4]["is_correct"] is False
+
+
+def test_top1_records_tie_policy_first(spark):
+    """tie_policy='first' scores exactly one rank-1 row (the reference's
+    results[0] shape, deterministic min-company_id tiebreak); 'any' counts
+    the target anywhere in the tied group."""
+    results = spark.createDataFrame(
+        [
+            ("Q1", "B", 0.9, 1),  # tie at rank 1: B and C
+            ("Q1", "C", 0.9, 1),
+            ("Q2", "A", 0.8, 1),
+        ],
+        "query_id string, company_id string, score double, rank int",
+    )
+    queries = spark.createDataFrame(
+        [("Q1", "C"), ("Q2", "A")], "query_id string, target_id string"
+    )
+    any_rows = {
+        r["query_id"]: r["is_correct"]
+        for r in threshold.search_top1_records(results, queries).collect()
+    }
+    first_rows = {
+        r["query_id"]: r["is_correct"]
+        for r in threshold.search_top1_records(
+            results, queries, tie_policy="first"
+        ).collect()
+    }
+    assert any_rows == {"Q1": True, "Q2": True}
+    assert first_rows == {"Q1": False, "Q2": True}  # B < C wins the tie
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        threshold.search_top1_records(results, queries, tie_policy="weird")
