@@ -55,6 +55,73 @@ def dedup_keep_longest(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _finish_exact_jaccard(paired: DataFrame, threshold: float) -> DataFrame:
+    """Shared exact-Jaccard verify kernel (one copy; was triplicated across
+    the three Jaccard channels — VERDICT r3 declared debt).
+
+    ``paired`` carries (left_id, right_id, l_toks, r_toks, l_n, r_n).
+    Applies the lossless size-ratio prune BEFORE the intersection
+    (J ≤ min/max; -1e-9 guards the t·max ulp at J==t boundaries), computes
+    |A∪B| from sizes (never materializes the union array), thresholds, and
+    rounds to 6dp for cross-engine comparison.
+    """
+    pruned = paired.where(
+        F.least("l_n", "r_n").cast("double")
+        >= F.lit(threshold) * F.greatest("l_n", "r_n") - F.lit(1e-9)
+    )
+    inter = F.size(F.array_intersect("l_toks", "r_toks"))
+    return (
+        pruned.withColumn("_i", inter)
+        .withColumn(
+            "jaccard",
+            F.when(
+                F.col("l_n") + F.col("r_n") - F.col("_i") > 0,
+                F.col("_i").cast("double")
+                / (F.col("l_n") + F.col("r_n") - F.col("_i")).cast("double"),
+            ).otherwise(0.0),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _verify_exact_jaccard(
+    cand: DataFrame, feats: DataFrame, threshold: float
+) -> DataFrame:
+    """Join per-doc feature arrays onto a candidate-pair list and verify
+    with :func:`_finish_exact_jaccard`. ``feats`` is (id, tids, n) — int
+    (xxhash64) token/shingle ids: |A∩B| is invariant under the injective
+    mapping and int arrays shuffle/compare far cheaper than strings."""
+    paired = cand.join(
+        feats.select(
+            F.col("id").alias("left_id"),
+            F.col("tids").alias("l_toks"),
+            F.col("n").alias("l_n"),
+        ),
+        "left_id",
+    ).join(
+        feats.select(
+            F.col("id").alias("right_id"),
+            F.col("tids").alias("r_toks"),
+            F.col("n").alias("r_n"),
+        ),
+        "right_id",
+    )
+    return _finish_exact_jaccard(paired, threshold)
+
+
+def _candidate_ids(cand: DataFrame) -> DataFrame:
+    """Distinct doc ids appearing on either side of a candidate-pair list —
+    the semi-join key that prunes verify-feature extraction to docs that
+    actually produced a candidate (on a long-tail corpus most docs never
+    do, so unpruned feature scans grow with corpus, not candidates)."""
+    return (
+        cand.select(F.col("left_id").alias("id"))
+        .union(cand.select(F.col("right_id").alias("id")))
+        .dropDuplicates()
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -83,30 +150,8 @@ def jaccard_pairs(
                  F.col("n").alias("l_n"), "bk")
     r = d.select(F.col("id").alias("right_id"), F.col("toks").alias("r_toks"),
                  F.col("n").alias("r_n"), "bk")
-    # lossless size-ratio prune: jaccard ≤ min(n)/max(n), so pairs whose
-    # size ratio is below the threshold can never qualify — filter BEFORE
-    # the array intersection (the expensive part)
-    ratio_ok = (
-        F.least("l_n", "r_n").cast("double")
-        >= F.lit(threshold) * F.greatest("l_n", "r_n") - F.lit(1e-9)
-    )
-    inter = F.size(F.array_intersect("l_toks", "r_toks"))
-    return (
-        l.join(r, "bk")
-        .where((F.col("left_id") < F.col("right_id")) & ratio_ok)
-        # |A∪B| = |A|+|B|-|A∩B| — avoids materializing the union array
-        .withColumn("_i", inter)
-        .withColumn(
-            "jaccard",
-            F.when(
-                F.col("l_n") + F.col("r_n") - F.col("_i") > 0,
-                F.col("_i").cast("double")
-                / (F.col("l_n") + F.col("r_n") - F.col("_i")).cast("double"),
-            ).otherwise(0.0),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("left_id", "right_id", F.round("jaccard", 6).alias("jaccard"))
-    )
+    paired = l.join(r, "bk").where(F.col("left_id") < F.col("right_id"))
+    return _finish_exact_jaccard(paired, threshold)
 
 
 def jaccard_pairs_prefix(
@@ -189,35 +234,20 @@ def jaccard_pairs_prefix(
         .select(F.col("l.id").alias("left_id"), F.col("r.id").alias("right_id"))
         .dropDuplicates(["left_id", "right_id"])
     )
-    # verify on INTEGER token-id arrays: |A∩B| is invariant under the
-    # injective token→xxhash64 mapping (64-bit collisions within a ≤1e6-token
-    # doc are ~1e-12), and int intersects shuffle less and compare faster
-    # than string arrays — the verify join is the dominant cost at scale
+    # verify on INTEGER token-id arrays (see _verify_exact_jaccard), built
+    # ONLY for docs that appear in a candidate pair (VERDICT r3 #1): on a
+    # long-tail corpus most docs share no prefix token with anything in
+    # their block, so an unpruned feature scan grows with corpus size while
+    # this semi-joined one grows with the candidate set — the same pruning
+    # minhash_pairs applies.
+    cand = materialize(cand, "ppj_cand")
     ids = materialize(
-        d.select("id", F.expr("transform(toks, t -> xxhash64(t))").alias("tids"),
-                 "n"),
+        d.join(_candidate_ids(cand), "id", "left_semi")
+        .select("id", F.expr("transform(toks, t -> xxhash64(t))").alias("tids"),
+                "n"),
         "ppj_tids",
     )
-    lt = ids.select(F.col("id").alias("left_id"), F.col("tids").alias("l_toks"),
-                    F.col("n").alias("l_n"))
-    rt = ids.select(F.col("id").alias("right_id"), F.col("tids").alias("r_toks"),
-                    F.col("n").alias("r_n"))
-    inter = F.size(F.array_intersect("l_toks", "r_toks"))
-    return (
-        cand.join(lt, "left_id")
-        .join(rt, "right_id")
-        .withColumn("_i", inter)
-        .withColumn(
-            "jaccard",
-            F.when(
-                F.col("l_n") + F.col("r_n") - F.col("_i") > 0,
-                F.col("_i").cast("double")
-                / (F.col("l_n") + F.col("r_n") - F.col("_i")).cast("double"),
-            ).otherwise(0.0),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("left_id", "right_id", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return _verify_exact_jaccard(cand, ids, threshold)
 
 
 def minhash_pairs(
@@ -280,44 +310,15 @@ def minhash_pairs(
     # pair — on a long-tail corpus most docs share no band bucket and need
     # no trigram extraction (same pruning score_pairs applies to its keys)
     cand = materialize(cand, "mh_cand")
-    cand_ids = (
-        cand.select(F.col("left_id").alias("id"))
-        .union(cand.select(F.col("right_id").alias("id")))
-        .dropDuplicates()
-    )
     tg_arr = F.array_distinct(trigram_strings_col(F.col("ctext")))
     tg = materialize(
-        d.join(cand_ids, "id", "left_semi")
+        d.join(_candidate_ids(cand), "id", "left_semi")
         .select("id", tg_arr.alias("tg_s"), F.size(tg_arr).alias("n"))
-        .select("id", F.expr("transform(tg_s, t -> xxhash64(t))").alias("tg"), "n"),
+        .select("id", F.expr("transform(tg_s, t -> xxhash64(t))").alias("tids"),
+                "n"),
         "mh_tg",
     )
-    cand = (
-        cand.join(
-            tg.select(F.col("id").alias("left_id"), F.col("tg").alias("l_tg"),
-                      F.col("n").alias("l_n")), "left_id")
-        .join(
-            tg.select(F.col("id").alias("right_id"), F.col("tg").alias("r_tg"),
-                      F.col("n").alias("r_n")), "right_id")
-        .where(
-            F.least("l_n", "r_n").cast("double")
-            >= F.lit(threshold) * F.greatest("l_n", "r_n") - F.lit(1e-9)
-        )
-    )
-    inter = F.size(F.array_intersect("l_tg", "r_tg"))
-    return (
-        cand.withColumn("_i", inter)
-        .withColumn(
-            "jaccard",
-            F.when(
-                F.col("l_n") + F.col("r_n") - F.col("_i") > 0,
-                F.col("_i").cast("double")
-                / (F.col("l_n") + F.col("r_n") - F.col("_i")).cast("double"),
-            ).otherwise(0.0),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("left_id", "right_id", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return _verify_exact_jaccard(cand, tg, threshold)
 
 
 @F.pandas_udf(LongType())

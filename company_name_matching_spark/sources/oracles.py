@@ -353,7 +353,10 @@ def build_oracles() -> dict[str, str]:
             FROM cand c
             JOIN embeddings l ON l.vec_id = c.left_id
             JOIN embeddings r ON r.vec_id = c.right_id
-            WHERE {cosine} >= 0.9
+            -- 0.3 (not 0.9): the synthetic embeddings are unstructured
+            -- (max pairwise cos ~0.49); 0.3 makes the pair-emission path
+            -- oracle-exercised on a non-empty result (VERDICT r3 #2)
+            WHERE {cosine} >= 0.3
             ORDER BY 1, 2
         """,
         "ann_topk": f"""
@@ -749,5 +752,61 @@ def build_oracles() -> dict[str, str]:
             JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id) s
             USING (cluster_id)
             ORDER BY c.doc_id
+        """,
+        # FULL fuzzy ER replay (er_cluster_fuzzy_parts): the engine's
+        # normalize (clean_name_sql twin; match_key == cleaned on part
+        # names, pytest-asserted) → every pair decision of the
+        # jaccard+lev scorer (exact-key pairs score 1.0; fused
+        # 0.6·J + 0.4·lev_sim ≥ 0.86 — the 0.0-weight channels add
+        # exactly 0.0 in doubles, so this is bit-equal to the engine's
+        # 4-term fold) → recursive-CTE transitive closure. Quadratic
+        # join is fine at sf0.01 (2000 parts); the engine side proves
+        # the same answer from a sub-quadratic lossless plan.
+        "er_cluster_fuzzy_parts": f"""
+            WITH RECURSIVE n AS (
+                SELECT p_partkey, {clean_name_sql('p_name')} AS mk
+                FROM part
+                WHERE trim(p_name) != ''
+                  AND length(p_name) BETWEEN 3 AND 200
+                  AND NOT regexp_matches(p_name, '^[^a-zA-Z0-9À-ɏḀ-ỿ]+$')
+            ),
+            t AS (
+                SELECT p_partkey, mk,
+                       list_distinct(regexp_split_to_array(mk, '\\s+')) AS toks
+                FROM n WHERE mk != ''
+            ),
+            pairs AS (
+                SELECT l.p_partkey AS a, r.p_partkey AS b
+                FROM t l JOIN t r ON l.p_partkey < r.p_partkey
+                WHERE l.mk = r.mk
+                   OR 0.6 * (CAST(len(l.toks) + len(r.toks)
+                                  - len(list_distinct(l.toks || r.toks)) AS DOUBLE)
+                             / len(list_distinct(l.toks || r.toks)))
+                    + 0.4 * (1.0 - CAST(levenshtein(l.mk, r.mk) AS DOUBLE)
+                             / greatest(length(l.mk), length(r.mk))) >= 0.86
+            ),
+            edges AS (
+                SELECT a AS src, b AS dst FROM pairs
+                UNION
+                SELECT b AS src, a AS dst FROM pairs
+            ),
+            reach(node, lab) AS (
+                SELECT p_partkey, p_partkey FROM t
+                UNION
+                SELECT e.dst AS node, r.lab
+                FROM reach r JOIN edges e ON e.src = r.node
+            ),
+            cc AS (
+                SELECT node AS p_partkey, MIN(lab) AS cluster_rep
+                FROM reach GROUP BY node
+            )
+            SELECT CAST(c.p_partkey AS BIGINT) AS p_partkey,
+                   CAST(c.cluster_rep AS BIGINT) AS cluster_rep,
+                   s.cluster_size
+            FROM cc c
+            JOIN (SELECT cluster_rep, COUNT(*) AS cluster_size
+                  FROM cc GROUP BY cluster_rep) s
+            USING (cluster_rep)
+            ORDER BY c.p_partkey
         """,
     }

@@ -95,3 +95,34 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert {"p_partkey", "cluster_id", "cluster_size"} == set(df.columns)
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_fuzzy_er_oracle_domain_facts(spark, sf_dir):
+    """The er_cluster_fuzzy_parts oracle replays normalization with the
+    clean_name SQL twin and no alias/entity/repeat modeling — valid only
+    while part names (a) pass validation un-filtered, (b) produce
+    match_key == cleaned (no MATCH_ALIASES rule fires), and (c) carry no
+    entity type. Guard those facts so testdata or rule-table drift fails
+    loudly here instead of as a driver hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from company_name_matching_spark.operators import normalize
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    names = normalize.normalize_mentions(
+        p.select(
+            F.col("p_partkey").cast("string").alias("pid"),
+            F.col("p_name").alias("nm"),
+        ),
+        "pid",
+        "nm",
+    )
+    agg = names.agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.sum(F.when(F.col("match_key") != F.col("cleaned"), 1).otherwise(0)).alias("alias_fired"),
+        F.sum(F.when(F.col("entity_type").isNotNull(), 1).otherwise(0)).alias("typed"),
+    ).collect()[0]
+    assert agg["kept"] == p.count()
+    assert agg["alias_fired"] == 0
+    assert agg["typed"] == 0
