@@ -44,7 +44,9 @@ def confidence_tier(score_col):
 
 # a typo'd model name must fail loudly, not silently run the default fused
 # scoring (same failure class as blocking-channel validation, ADVICE r4)
-_KNOWN_MODELS = frozenset({"fused", "hybrid_bm25", "hybrid_lsa", "cross_rerank"})
+_KNOWN_MODELS = frozenset(
+    {"fused", "hybrid_bm25", "hybrid_lsa", "hybrid_dense", "cross_rerank"}
+)
 
 
 @dataclass
@@ -78,6 +80,26 @@ class SearchConfig:
     lsa_vocab: int = 512
     cross_weight: float = 0.5
     cross_scorer_factory: object = None  # encode.PairScorerFactory
+    # "hybrid_dense": the reference's 'tfidf-dense' shape (matcher.py:378+,
+    # SentenceTransformer channel): 0.5·tfidf-cosine + 0.5·dense cosine.
+    # The encoder is pluggable (encode.EncoderFactory, executor-side
+    # construction); the default is the deterministic hash stand-in — NOT a
+    # semantic model (no torch in this environment), but the full
+    # distributed plumbing (encode → LSH retrieval → fused scoring) is real
+    # and a SentenceTransformer factory drops in unchanged. Candidates come
+    # from lexical blocking ∪ dense sign-LSH buckets, so translation pairs
+    # with ZERO token overlap are retrievable — the piece a rerank-only
+    # dense stage can't provide.
+    dense_weight: float = 0.5
+    dense_encoder_factory: object = None  # encode.EncoderFactory
+    dense_dim: int = 64
+    dense_planes: int = 8
+    dense_tables: int = 8
+    # optional query-side alias rules (pattern, replacement) applied to the
+    # QUERY match_key after normalization — e.g. crosslang.EN_VI_ALIASES
+    # for EN→VI sector terms. Query-side only: corpus keys are untouched,
+    # so corpus-side parity gates are unaffected.
+    query_aliases: tuple = ()
     blocking: blocking.BlockingConfig = field(default_factory=blocking.BlockingConfig)
     scoring: scoring.ScoringConfig = field(default_factory=scoring.ScoringConfig)
 
@@ -120,6 +142,17 @@ def search_topk(
                                      id_domain="q:"),
         "search_queries",
     )
+    if cfg.query_aliases:
+        # query-side alias layer (JVM regexp chain; Java regex supports \b)
+        mk = F.col("match_key")
+        for pat, rep in cfg.query_aliases:
+            mk = F.regexp_replace(mk, pat, rep)
+        mk = F.trim(F.regexp_replace(mk, r"\s+", " "))
+        q = (
+            q.withColumn("match_key", mk)
+            .withColumn("tokens", F.split("match_key", " "))
+        )
+        q = materialize(q, "search_queries_aliased")
 
     # barrier before filter_blocks: its size-agg + keep-join consume the
     # blocks twice, and the MinHash signature generation must not run twice
@@ -134,6 +167,58 @@ def search_topk(
         .select("left_id", "right_id")
         .dropDuplicates(["left_id", "right_id"])
     )
+
+    qv = cv = None
+    if cfg.model == "hybrid_dense":
+        # dense retrieval channel: sign-LSH buckets over the embeddings add
+        # candidates lexical blocking can NEVER produce (translation pairs
+        # share zero tokens). Vectors are encoded once per side and
+        # materialized — they feed bucket keys here and the cosine channel
+        # below. Per-bucket fan-out is bounded by the bucket population
+        # (~n/2^planes expected), not the corpus.
+        from company_name_matching_spark.operators import encode
+        from company_name_matching_spark.operators.ann import (
+            _bucket_col,
+            md5_hyperplanes,
+        )
+
+        cv = materialize(
+            encode.encode_texts(
+                c, cfg.dense_encoder_factory, "record_id", "match_key", "v"
+            ),
+            "search_cvec",
+        )
+        qv = materialize(
+            encode.encode_texts(
+                q, cfg.dense_encoder_factory, "record_id", "match_key", "v"
+            ),
+            "search_qvec",
+        )
+        tables = md5_hyperplanes(cfg.dense_dim, cfg.dense_planes, cfg.dense_tables)
+
+        def _buckets(vdf):
+            keyed = vdf.select(
+                "record_id",
+                F.array(
+                    *[
+                        _bucket_col(F.col("v"), tables[t], t)
+                        for t in range(cfg.dense_tables)
+                    ]
+                ).alias("_keys"),
+            )  # stage the key array before explode (generator re-evaluation)
+            return keyed.select(
+                "record_id", F.explode("_keys").alias("bucket")
+            )
+
+        dense_cand = (
+            _buckets(qv).withColumnRenamed("record_id", "left_id")
+            .join(
+                _buckets(cv).withColumnRenamed("record_id", "right_id"),
+                "bucket",
+            )
+            .select("left_id", "right_id")
+        )
+        cand = cand.union(dense_cand).dropDuplicates(["left_id", "right_id"])
 
     # score query-corpus pairs through the standard pairwise scorer over the
     # union record space (record ids are xxhash64 of distinct id domains).
@@ -224,6 +309,40 @@ def search_topk(
                 ),
             )
             .drop("_l_lsa", "_r_lsa", "_lsa_cos")
+        )
+
+    if cfg.model == "hybrid_dense":
+        # 0.5·tfidf-cos + 0.5·dense cosine (reference 'tfidf-dense' shape);
+        # exact match-key pairs keep the 1.0 short-circuit. Vectors were
+        # materialized at candidate generation.
+        from company_name_matching_spark.operators.dedup import cosine_col
+
+        scored = (
+            scored.join(
+                qv.select(F.col("record_id").alias("left_id"),
+                          F.col("v").alias("_l_v")),
+                "left_id", "left",
+            )
+            .join(
+                cv.select(F.col("record_id").alias("right_id"),
+                          F.col("v").alias("_r_v")),
+                "right_id", "left",
+            )
+            .withColumn(
+                "_d_cos",
+                F.when(
+                    F.col("_l_v").isNotNull() & F.col("_r_v").isNotNull(),
+                    cosine_col(F.col("_l_v"), F.col("_r_v")),
+                ).otherwise(F.lit(0.0)),
+            )
+            .withColumn(
+                "score",
+                F.when(F.col("score") >= 1.0, F.col("score")).otherwise(
+                    F.lit(cfg.tfidf_weight) * F.col("cos_sim")
+                    + F.lit(cfg.dense_weight) * F.greatest("_d_cos", F.lit(0.0))
+                ),
+            )
+            .drop("_l_v", "_r_v", "_d_cos")
         )
 
     if cfg.model == "cross_rerank":

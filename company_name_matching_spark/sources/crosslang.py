@@ -92,3 +92,30 @@ def corpus_and_queries():
         for i, (q, t, cat, tier) in enumerate(GOLDEN_PAIRS)
     ]
     return corpus, queries
+
+
+# Query-side EN→VI sector-term aliases (SearchConfig.query_aliases) — the
+# generic institution vocabulary any Vietnamese-market engine carries
+# (bank/airlines/securities/...), NOT a name-translation dictionary: brand
+# translations ("Mobile World" ↔ "thế giới di động") are exactly what the
+# dense channel exists for and are deliberately absent. Patterns run on the
+# normalized (lowercase, accent-free) query match_key; Java regex (\b ok).
+# Replacements are accent-free to match the match_key alphabet.
+EN_VI_ALIASES: tuple[tuple[str, str], ...] = (
+    (r"\bcommercial bank\b", "ngan hang tmcp"),
+    (r"\bbank\b", "ngan hang"),
+    (r"\bairlines\b", "hang khong"),
+    (r"\bairways\b", "hang khong"),
+    (r"\baviation\b", "hang khong"),
+    (r"\bsecurities\b", "chung khoan"),
+    (r"\binsurance\b", "bao hiem"),
+    (r"\belectricity\b", "dien luc"),
+    (r"\bdairy products\b", "sua"),
+    (r"\bdairy\b", "sua"),
+    (r"\bmilk\b", "sua"),
+    (r"\brubber\b", "cao su"),
+    (r"\bbeer\b", "bia"),
+    (r"\bbeverage\b", "nuoc giai khat"),
+    (r"\bjewelry\b", "vang bac"),
+    (r"\bgroup\b", "tap doan"),
+)

@@ -16,7 +16,9 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def evaluate(spark, model: str = "fused", k: int = 5) -> dict:
+def evaluate(spark, model: str = "fused", k: int = 5,
+             use_aliases: bool = False,
+             dense_encoder_factory=None) -> dict:
     from pyspark.sql import functions as F
 
     from company_name_matching_spark.operators.blocking import BlockingConfig
@@ -33,6 +35,8 @@ def evaluate(spark, model: str = "fused", k: int = 5) -> dict:
     cfg = SearchConfig(
         k=k,
         model=model,
+        query_aliases=crosslang.EN_VI_ALIASES if use_aliases else (),
+        dense_encoder_factory=dense_encoder_factory,
         blocking=BlockingConfig(channels=("prefix", "lsh", "token")),
     )
     out = search_topk(corpus_df, queries_df, cfg)
@@ -75,16 +79,19 @@ def evaluate(spark, model: str = "fused", k: int = 5) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="fused", choices=["fused", "hybrid_bm25"])
+    ap.add_argument("--model", default="fused",
+                    choices=["fused", "hybrid_bm25", "hybrid_dense"])
+    ap.add_argument("--aliases", action="store_true",
+                    help="apply EN->VI sector aliases on the query side")
     args = ap.parse_args()
 
     from company_name_matching_spark.session import get_spark
 
     spark = get_spark(app_name="crosslang-eval")
     spark.sparkContext.setLogLevel("ERROR")
-    stats = evaluate(spark, model=args.model)
+    stats = evaluate(spark, model=args.model, use_aliases=args.aliases)
 
-    print(f"model: {args.model}")
+    print(f"model: {args.model} aliases: {args.aliases}")
     for scope in ("by_tier", "by_category"):
         print(f"\n{scope}:")
         for key, d in sorted(stats[scope].items()):
