@@ -400,6 +400,43 @@ def dup_group_names(spark, sf_dir):
     )
 
 
+def error_tags_parts(spark, sf_dir):
+    """Failure-categorization tag distribution (the reference's
+    ``scripts/analyze_errors.py`` taxonomy, ``operators/erroranalysis.py``)
+    over a deterministic corrupted-query workload: each part name becomes
+    one of three query corruptions (reversed-tokens UPPER / first-2-tokens
+    lower / lowercase original) by partkey mod 3, is tagged against its
+    target with the full JVM tag logic, and the per-tag counts are the
+    result. Tag logic is exactly SQL-expressible → full DuckDB oracle; the
+    search-integrated failure COLLECTION (tie-as-rank-1, suppressed) is
+    pytest-gated (tests/test_operators.py)."""
+    from company_name_matching_spark.operators import erroranalysis
+
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 500)
+    toks = F.split(F.trim("p_name"), r"\s+")
+    corrupted = p.select(
+        F.col("p_name").alias("target_name"),
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.upper(F.array_join(F.reverse(toks), " ")),
+        )
+        .when(
+            F.col("p_partkey") % 3 == 1,
+            F.lower(F.array_join(F.slice(toks, 1, 2), " ")),
+        )
+        .otherwise(F.lower(F.col("p_name")))
+        .alias("query_text"),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("reorder_upper"))
+        .when(F.col("p_partkey") % 3 == 1, F.lit("truncate"))
+        .otherwise(F.lit("lowercase"))
+        .alias("method"),
+    )
+    tagged = erroranalysis.tag_failures(corrupted)
+    return erroranalysis.tag_distribution(tagged).orderBy(
+        F.col("n").desc(), "tag"
+    )
+
+
 BM25_QUERY_TERMS = ["spark", "table", "join"]
 
 
@@ -1082,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_keep_longest": docs_keep_longest,
         "docs_jaccard_neardup": docs_jaccard_neardup,
         "threshold_sweep_docs": threshold_sweep_docs,
+        "error_tags_parts": error_tags_parts,
         "docs_minhash_neardup": docs_minhash_neardup,
         "docs_simhash_neardup": docs_simhash_neardup,
         "emb_neardup": emb_neardup,

@@ -33,6 +33,7 @@ With b bands × r rows the LSH match-probability curve has threshold
 
 from __future__ import annotations
 
+import math
 import random
 from dataclasses import dataclass, field
 
@@ -58,6 +59,21 @@ class BlockingConfig:
     max_block_size: int = 200  # raise to ~1000 at cluster scale
     seed: int = 42
     channels: tuple[str, ...] = ("prefix", "lsh")
+    # Data-driven hot-block cap (VERDICT r3 #9). The static max_block_size
+    # is tuning folklore: at 100× corpus scale ORGANIC blocks grow past any
+    # fixed number and a static cap silently drops their pairs (recall
+    # collapse), while a pathological key still needs dropping. With
+    # adaptive_cap=True the cap becomes
+    #   max(floor, ceil(approx_percentile(block_size, quantile) * margin))
+    # — anchored to the observed distribution, so only blocks 'margin'×
+    # beyond the quantile (true skew outliers) are dropped, and recall loss
+    # is bounded by construction at any scale. Costs one extra bounded
+    # aggregation over the (materialized) blocks. Default off: existing
+    # pipelines keep byte-identical behavior.
+    adaptive_cap: bool = False
+    adaptive_cap_quantile: float = 0.999
+    adaptive_cap_margin: float = 4.0
+    adaptive_cap_floor: int = 64
     _params: list[tuple[int, int]] = field(default_factory=list, repr=False)
 
     def params(self) -> list[tuple[int, int]]:
@@ -203,8 +219,20 @@ def filter_blocks(
     reuse.
     """
     sizes = blocks.groupBy("block_key").agg(F.count(F.lit(1)).alias("_bsz"))
+    cap = cfg.max_block_size
+    if cfg.adaptive_cap:
+        # bounded driver scalar: one approximate quantile over block sizes
+        q = sizes.agg(
+            F.expr(
+                f"approx_percentile(_bsz, {cfg.adaptive_cap_quantile})"
+            ).alias("q")
+        ).collect()[0]["q"]
+        cap = max(
+            int(math.ceil((q or 1) * cfg.adaptive_cap_margin)),
+            cfg.adaptive_cap_floor,
+        )
     keep = sizes.where(
-        (F.col("_bsz") >= min_size) & (F.col("_bsz") <= F.lit(cfg.max_block_size))
+        (F.col("_bsz") >= min_size) & (F.col("_bsz") <= F.lit(cap))
     ).select("block_key")
     return blocks.join(keep, "block_key")
 

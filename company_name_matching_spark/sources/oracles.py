@@ -477,6 +477,69 @@ def build_oracles() -> dict[str, str]:
         # sf0.01 corpora, so the entry's banded+verified output equals this
         # quadratic oracle exactly (a recall miss would surface as a red row —
         # which is precisely what this gate is for).
+        # erroranalysis.tag_col twin: every failure-category predicate of
+        # analyze_errors.py categorize_query as RE2-safe SQL over the same
+        # deterministic corrupted-query workload as the entry.
+        "error_tags_parts": f"""
+            WITH base AS (
+                SELECT p_name AS target,
+                       CASE CAST(p_partkey % 3 AS INT)
+                         WHEN 0 THEN upper(array_to_string(list_reverse(
+                             regexp_split_to_array(trim(p_name), '\\s+')), ' '))
+                         WHEN 1 THEN lower(array_to_string(
+                             regexp_split_to_array(trim(p_name), '\\s+')[1:2], ' '))
+                         ELSE lower(p_name) END AS q0,
+                       CASE CAST(p_partkey % 3 AS INT)
+                         WHEN 0 THEN 'reorder_upper'
+                         WHEN 1 THEN 'truncate'
+                         ELSE 'lowercase' END AS method
+                FROM part WHERE p_partkey <= 500
+            ),
+            feat AS (
+                SELECT method, trim(q0) AS q, trim(target) AS t,
+                       regexp_replace(trim(q0), '[^\\p{{L}}]', '', 'g') AS letters,
+                       regexp_split_to_array(trim(q0), '\\s+') AS qw,
+                       regexp_split_to_array(trim(target), '\\s+') AS tw,
+                       lower(translate(trim(q0), '{ACCENT_SRC}', '{ACCENT_DST}')) AS qfold,
+                       lower(translate(trim(target), '{ACCENT_SRC}', '{ACCENT_DST}')) AS tfold,
+                       list_distinct(regexp_split_to_array(trim(lower(q0)), '\\s+')) AS qs,
+                       list_distinct(regexp_split_to_array(trim(lower(target)), '\\s+')) AS ts
+                FROM base
+            ),
+            pred AS (
+                SELECT *,
+                       (letters != '' AND letters = upper(letters)) AS all_upper,
+                       list_sort(list_distinct(regexp_split_to_array(qfold, '\\s+')))
+                         = list_sort(list_distinct(regexp_split_to_array(tfold, '\\s+')))
+                         AS same_set,
+                       CAST(len(qs) + len(ts) - len(list_distinct(qs || ts)) AS DOUBLE)
+                         / len(list_distinct(qs || ts)) AS overlap
+                FROM feat
+            ),
+            tags AS (
+                SELECT unnest(list_filter([
+                    'method:' || method,
+                    CASE WHEN q = translate(q, '{ACCENT_SRC}', '{ACCENT_DST}')
+                         THEN 'no_accent' ELSE 'accented' END,
+                    CASE WHEN all_upper THEN 'all_upper'
+                         WHEN q = lower(q) THEN 'all_lower'
+                         ELSE 'mixed_case' END,
+                    CASE WHEN len(qw) = 1 THEN 'single_token'
+                         WHEN len(qw) <= 3 THEN 'short_query'
+                         ELSE 'long_query' END,
+                    CASE WHEN (len(qw) = 1 AND length(qw[1]) <= 6 AND len(tw) >= 2)
+                           OR (len(qw) <= len(tw) / 2.0 AND all_upper)
+                         THEN 'abbreviated' END,
+                    CASE WHEN same_set AND qfold != tfold
+                         THEN 'word_reorder' END,
+                    CASE WHEN overlap = 0.0 THEN 'no_token_overlap'
+                         WHEN overlap < 0.3 THEN 'low_token_overlap' END
+                ], x -> x IS NOT NULL)) AS tag
+                FROM pred
+            )
+            SELECT tag, COUNT(*) AS n FROM tags
+            GROUP BY tag ORDER BY n DESC, tag
+        """,
         "threshold_sweep_docs": f"""
             WITH t AS (
                 SELECT doc_id, lang, {_fingerprint('text')} AS fp,

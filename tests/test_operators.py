@@ -216,3 +216,140 @@ def test_generate_blocks_rejects_unknown_channels(spark):
         )
     with _pytest.raises(ValueError):
         blocking.generate_blocks(names, blocking.BlockingConfig(channels=()))
+
+
+def test_adaptive_block_cap_tracks_distribution(spark):
+    """Data-driven hot-block cap (VERDICT r3 #9): at 100x scale ORGANIC
+    blocks outgrow any fixed max_block_size and a static cap silently drops
+    their pairs; the adaptive cap (p-quantile x margin of the observed
+    size distribution) keeps them while still dropping true skew outliers
+    margin-fold beyond the quantile."""
+    # body: 50 blocks of size ~4 (organic); one legit large block of 300
+    # records (organically grown with the corpus); one pathological block
+    # of 5000 (a degenerate key)
+    rows = []
+    for b in range(50):
+        for i in range(4):
+            rows.append((f"b{b}_{i}", f"k:body{b}"))
+    for i in range(300):
+        rows.append((f"L_{i}", "k:organic"))
+    for i in range(5000):
+        rows.append((f"H_{i}", "k:patho"))
+    blocks = spark.createDataFrame(rows, "record_id string, block_key string")
+
+    # static default (200): the organic 300-block is LOST with its pairs
+    static_keys = {
+        r["block_key"]
+        for r in blocking.filter_blocks(
+            blocks, blocking.BlockingConfig()
+        ).select("block_key").distinct().collect()
+    }
+    assert "k:organic" not in static_keys
+
+    # adaptive: p99.9 over {50 x 4, 300, 5000} lands at the tail (5000);
+    # use p0.98 so the quantile sits in the body (size 4-300) -- cap =
+    # ceil(q x 4) keeps the 300-block, drops the 5000 outlier
+    cfg = blocking.BlockingConfig(
+        adaptive_cap=True, adaptive_cap_quantile=0.98,
+        adaptive_cap_margin=4.0, adaptive_cap_floor=64,
+    )
+    adaptive_keys = {
+        r["block_key"]
+        for r in blocking.filter_blocks(blocks, cfg)
+        .select("block_key").distinct().collect()
+    }
+    assert "k:organic" in adaptive_keys, adaptive_keys
+    assert "k:patho" not in adaptive_keys
+    assert all(k.startswith("k:body") or k == "k:organic" for k in adaptive_keys)
+    # floor guards degenerate distributions (all-tiny blocks): cap never
+    # drops below adaptive_cap_floor
+    tiny = spark.createDataFrame(
+        [(f"t{i}", f"k:{i % 30}") for i in range(60)],
+        "record_id string, block_key string",
+    )
+    cfg_floor = blocking.BlockingConfig(
+        adaptive_cap=True, adaptive_cap_floor=64
+    )
+    kept = blocking.filter_blocks(tiny, cfg_floor).count()
+    assert kept == 60  # all size-2 blocks kept under the floor
+
+
+def test_failure_records_tie_and_suppression(spark):
+    """erroranalysis.failure_records parity with analyze_errors.py:150-186:
+    tie-as-rank-1 hits, suppressed queries (no results), target_rank under
+    reference list order (score desc, id asc)."""
+    from company_name_matching_spark.operators import erroranalysis
+
+    results = spark.createDataFrame(
+        [
+            # Q1: target B ties with A at top score -> hit
+            ("Q1", "A", 0.9, 1), ("Q1", "B", 0.9, 1), ("Q1", "C", 0.5, 2),
+            # Q2: target Z at rank 3 of the list -> miss, target_rank 3
+            ("Q2", "A", 0.9, 1), ("Q2", "B", 0.8, 2), ("Q2", "Z", 0.7, 3),
+            # Q3: target absent -> miss, no rank
+            ("Q3", "A", 0.9, 1),
+        ],
+        "query_id string, company_id string, score double, rank int",
+    )
+    queries = spark.createDataFrame(
+        [("Q1", "B", "m1"), ("Q2", "Z", "m1"), ("Q3", "X", "m2"),
+         ("Q4", "Y", "m2")],  # Q4: suppressed (no results at all)
+        "query_id string, target_id string, method string",
+    )
+    rows = {
+        r["query_id"]: r
+        for r in erroranalysis.failure_records(results, queries).collect()
+    }
+    assert rows["Q1"]["is_top1_hit"] and not rows["Q1"]["suppressed"]
+    assert not rows["Q2"]["is_top1_hit"] and rows["Q2"]["target_rank"] == 3
+    assert rows["Q2"]["target_in_topk"]
+    assert not rows["Q3"]["is_top1_hit"] and rows["Q3"]["target_rank"] is None
+    assert rows["Q4"]["suppressed"] and rows["Q4"]["top1_score"] == 0.0
+
+
+def test_error_analysis_over_real_search(spark):
+    """End-to-end: search failures collected and categorized over the
+    labeled fixture corpus — the distributed twin of the reference's
+    analyze_errors.py driver loop."""
+    from company_name_matching_spark.operators import erroranalysis
+    from company_name_matching_spark.operators.search import (
+        SearchConfig,
+        search_topk,
+    )
+    from company_name_matching_spark.sources import fixtures
+
+    comps = fixtures.base_companies(30)
+    corpus = spark.createDataFrame(comps, "company_id string, name string")
+    q = fixtures.labeled_queries(comps, per_company=2)
+    # plant guaranteed failures: unrelated gibberish (suppressed at
+    # min_score) and a wrong-target label
+    q = q + [
+        ("QG_1", "zzz qqq unrelated gibberish", comps[0][0], "gibberish"),
+        ("QW_1", comps[1][1], comps[2][0], "mislabel"),
+    ]
+    queries = spark.createDataFrame(
+        q, "query_id string, query_text string, target_id string, method string"
+    )
+    res = search_topk(corpus, queries, SearchConfig(k=3, min_score=0.3))
+    recs = erroranalysis.failure_records(res, queries)
+    fails = recs.where(~F.col("is_top1_hit"))
+    qmeta = queries.select(
+        "query_id", "query_text",
+        F.col("target_id").alias("_tid"),
+    ).join(
+        corpus.select(
+            F.col("company_id").alias("_tid"),
+            F.col("name").alias("target_name"),
+        ),
+        "_tid",
+    )
+    tagged = erroranalysis.tag_failures(fails.join(qmeta, "query_id"))
+    dist = {
+        r["tag"]: r["n"]
+        for r in erroranalysis.tag_distribution(tagged).collect()
+    }
+    assert dist.get("method:gibberish", 0) == 1
+    assert dist.get("suppressed", 0) >= 1      # gibberish emptied by min_score
+    assert dist.get("method:mislabel", 0) == 1
+    n_fail = fails.count()
+    assert 2 <= n_fail <= 4  # planted failures dominate; accuracy stays high
