@@ -97,19 +97,37 @@ def trigram_hashes_col(col):
     )
 
 
-def minhash_signature_col(col, cfg: BlockingConfig):
-    """array<bigint> MinHash signature of length bands*rows (JVM-native)."""
-    hashes = trigram_hashes_col(col)
-    sig = [
-        F.array_min(
-            F.transform(
-                hashes,
-                lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE31)),
+def sig_from_hashes_col(hashes_col, cfg: BlockingConfig):
+    """array<bigint> MinHash signature from an ALREADY-COMPUTED trigram-hash
+    array column. Interpreted projections get no common-subexpression
+    elimination, so referencing an inline trigram-scan expression from all
+    bands·rows permutations recomputes the substring+xxhash scan that many
+    times per row — long-document callers must stage/materialize the hash
+    array first and build the signature from the stored column (each
+    permutation pass is then pure arithmetic over the in-memory array)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    hashes_col,
+                    lambda h: F.pmod(
+                        F.lit(a) * h + F.lit(b), F.lit(_MERSENNE31)
+                    ),
+                )
             )
-        )
-        for (a, b) in cfg.params()
-    ]
-    return F.array(*sig)
+            for (a, b) in cfg.params()
+        ]
+    )
+
+
+def minhash_signature_col(col, cfg: BlockingConfig):
+    """array<bigint> MinHash signature of length bands*rows (JVM-native).
+
+    Single-expression form — fine for SHORT strings (company names, ~30
+    chars): the repeated trigram scan is cheap there. For long documents
+    use :func:`sig_from_hashes_col` over a materialized hash array (see
+    its docstring; ~2× on the sf0.1 documents signature stage)."""
+    return sig_from_hashes_col(trigram_hashes_col(col), cfg)
 
 
 def band_keys_from_sig(sig, cfg: BlockingConfig):

@@ -276,9 +276,19 @@ def minhash_pairs(
     # parquet barrier, not localCheckpoint: executor-memory-resident blocks
     # are non-replayable on executor loss on a real cluster (and the
     # in-memory scan anti-scales at high local thread counts; see store.py)
-    sigs = materialize(
+    # two-step: trigram-hash the documents ONCE, then derive the 32
+    # permutation minima from the stored array — the inline form recomputes
+    # the substring+xxhash scan per permutation (no CSE in interpreted
+    # projections; measured ~2× on this stage at sf0.1)
+    th = materialize(
         d.select(
-            "id", blocking.minhash_signature_col(F.col("ctext"), cfg).alias("sig")
+            "id", blocking.trigram_hashes_col(F.col("ctext")).alias("th")
+        ),
+        "minhash_tghash",
+    )
+    sigs = materialize(
+        th.select(
+            "id", blocking.sig_from_hashes_col(F.col("th"), cfg).alias("sig")
         ),
         "minhash_sigs",
     )
