@@ -56,23 +56,34 @@ def failure_records(
 ) -> DataFrame:
     """Labeled queries × search results → per-query outcome records.
 
-    Tie-as-rank-1 (analyze_errors.py:160-166): every result whose score
-    equals the top score counts as rank 1, so a near-duplicate corpus entry
-    tying with the target is a hit. Adds ``is_top1_hit``, ``suppressed``
-    (no results), ``target_in_topk`` and ``target_rank`` (position in the
-    returned list under (score desc, company_id) order, reference list
-    order).
+    Tie-as-rank-1 (analyze_errors.py:160-166): ``top1_score`` is the score
+    of the FIRST result in ENGINE order (the ``rank`` column — promotion
+    can put a lower score first, and the reference reads its own
+    ``results[0]``), and every result whose score EQUALS it counts as a
+    hit — including score-ties the engine happened to rank lower (the
+    reference compares raw scores, not rank labels). Adds ``is_top1_hit``,
+    ``suppressed`` (no results), ``target_in_topk`` and ``target_rank``
+    (position in the returned list under engine order, company_id as the
+    deterministic intra-rank tiebreak).
     """
     w = Window.partitionBy(query_id).orderBy(
-        F.col("score").desc(), F.col("company_id").asc()
+        F.col("rank").asc(), F.col("company_id").asc()
     )
     ordered = results.withColumn("_pos", F.row_number().over(w))
     per_q = ordered.groupBy(query_id).agg(
-        F.max("score").alias("top1_score"),
-        F.collect_set(
-            F.when(F.col("rank") == 1, F.col("company_id"))
-        ).alias("_top1_group"),
-        F.collect_list(F.struct("_pos", "company_id")).alias("_ranked"),
+        F.max(F.when(F.col("rank") == 1, F.col("score"))).alias("top1_score"),
+        F.collect_list(F.struct("_pos", "company_id", "score")).alias(
+            "_ranked"
+        ),
+    )
+    per_q = per_q.withColumn(
+        "_top1_group",
+        F.transform(
+            F.filter(
+                F.col("_ranked"), lambda s: s["score"] == F.col("top1_score")
+            ),
+            lambda s: s["company_id"],
+        ),
     )
     cols = [query_id, target_col] + ([method_col] if method_col else [])
     joined = queries.select(*cols).join(per_q, query_id, "left")

@@ -194,6 +194,20 @@ def search_topk(
             ),
             "search_qvec",
         )
+        # dimension guard: a drop-in encoder whose output width differs
+        # from dense_dim would null-pad against the hyperplanes, every sign
+        # bit would fall to '0', ALL records would share one bucket per
+        # table, and dense_cand would silently become a full query×corpus
+        # cross join — fail loudly instead (encoders emit uniform widths,
+        # so checking one row per side suffices)
+        for side, vdf in (("corpus", cv), ("query", qv)):
+            row = vdf.select(F.size("v").alias("d")).first()
+            if row is not None and row["d"] != cfg.dense_dim:
+                raise ValueError(
+                    f"dense encoder emitted {row['d']}-d vectors on the "
+                    f"{side} side but SearchConfig.dense_dim={cfg.dense_dim}"
+                    " — set dense_dim to the model's output width"
+                )
         tables = md5_hyperplanes(cfg.dense_dim, cfg.dense_planes, cfg.dense_tables)
 
         def _buckets(vdf):
@@ -241,14 +255,32 @@ def search_topk(
         # their heavy features).
         from company_name_matching_spark.operators import bm25 as bm25_mod
 
-        b = bm25_mod.bm25_pair_scores(c, q, scored.select("left_id", "right_id"))
         if cfg.bm25_corpus_max:
             # reference parity (matcher.py:371-373): normalize by the
             # per-query max over the WHOLE corpus, so min_score thresholds
             # and confidence tiers transfer from the reference unchanged.
-            b = b.join(bm25_mod.bm25_query_max(c, q), "left_id", "left")
-            b = b.withColumn("_bmax", F.coalesce(F.col("bm25_max"), F.lit(0.0)))
+            # ONE corpus pipeline: the pairs=None all-matching-docs scores
+            # are a strict superset of the candidate-pair scores, so the
+            # same materialized table serves both the per-pair channel
+            # (inner join to the candidate list) and the per-query max
+            # (groupBy) — running bm25_pair_scores AND bm25_query_max
+            # separately would re-execute the corpus tokenize/postings/
+            # doclens/avgdl/avg_idf pipeline twice (r4 review).
+            all_b = materialize(
+                bm25_mod.bm25_pair_scores(c, q, None), "bm25_all_scores"
+            )
+            b = scored.select("left_id", "right_id").join(
+                all_b, ["left_id", "right_id"]
+            )
+            b = b.join(
+                all_b.groupBy("left_id").agg(F.max("bm25").alias("_bmax")),
+                "left_id",
+                "left",
+            ).withColumn("_bmax", F.coalesce(F.col("_bmax"), F.lit(0.0)))
         else:
+            b = bm25_mod.bm25_pair_scores(
+                c, q, scored.select("left_id", "right_id")
+            )
             # scale opt-out: max over blocked candidates only (no per-query
             # corpus-wide posting scan); absolute scores can inflate when
             # the global argmax doc is outside the block — use

@@ -94,13 +94,35 @@ class ParquetCatalog:
         """
         meta = self._meta(name)
         if mode == "append" and meta["current"] >= 0:
-            cur_spec = self._snapshot(meta, meta["current"]).get("partition_by", [])
+            cur = self._snapshot(meta, meta["current"])
+            cur_spec = cur.get("partition_by", [])
             if partition_by is None:
                 partition_by = cur_spec or None
             elif list(partition_by) != list(cur_spec):
                 raise ValueError(
                     f"append partitioning {partition_by} != table spec {cur_spec}"
                 )
+            # schema invariant: read() pins the manifest schema over every
+            # root, so a drifting append would otherwise surface as SILENT
+            # null-fill / column loss instead of an error (r4 review).
+            # Field order is writer-irrelevant; names+types must match.
+            cur_schema = cur.get("schema_json")
+            if cur_schema:
+                want = {
+                    (f["name"], json.dumps(f["type"], sort_keys=True))
+                    for f in json.loads(cur_schema)["fields"]
+                }
+                got = {
+                    (f["name"], json.dumps(f["type"], sort_keys=True))
+                    for f in json.loads(df.schema.json())["fields"]
+                }
+                if got != want:
+                    raise ValueError(
+                        f"append schema {sorted(n for n, _ in got)} does not "
+                        f"match table schema {sorted(n for n, _ in want)} "
+                        "(names+types must be identical; this catalog does "
+                        "not model schema evolution)"
+                    )
         snap = meta["current"] + 1
         idx = self._next_data_idx(meta)
         writer = df.write.mode("overwrite")

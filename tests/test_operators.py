@@ -276,8 +276,9 @@ def test_adaptive_block_cap_tracks_distribution(spark):
 
 def test_failure_records_tie_and_suppression(spark):
     """erroranalysis.failure_records parity with analyze_errors.py:150-186:
-    tie-as-rank-1 hits, suppressed queries (no results), target_rank under
-    reference list order (score desc, id asc)."""
+    SCORE-tie hits (even across engine rank groups), promotion-aware
+    top1_score (results[0] is the engine's first row, which promotion can
+    give a lower score), suppressed queries, target_rank in engine order."""
     from company_name_matching_spark.operators import erroranalysis
 
     results = spark.createDataFrame(
@@ -288,12 +289,21 @@ def test_failure_records_tie_and_suppression(spark):
             ("Q2", "A", 0.9, 1), ("Q2", "B", 0.8, 2), ("Q2", "Z", 0.7, 3),
             # Q3: target absent -> miss, no rank
             ("Q3", "A", 0.9, 1),
+            # Q5: CROSS-GROUP score tie — engine ranked the target's group
+            # 2, but its score equals rank-1's (the reference compares raw
+            # scores: analyze_errors.py:164-166) -> hit
+            ("Q5", "A", 0.9, 1), ("Q5", "B", 0.9, 2), ("Q5", "C", 0.5, 3),
+            # Q6: entity promotion put a 0.8 row first; results[0].score
+            # is 0.8, and D (score 0.8 at rank 2) ties with it -> hit;
+            # the raw max 0.95 is NOT the reference's top1_score
+            ("Q6", "A", 0.8, 1), ("Q6", "D", 0.8, 2), ("Q6", "B", 0.95, 3),
         ],
         "query_id string, company_id string, score double, rank int",
     )
     queries = spark.createDataFrame(
         [("Q1", "B", "m1"), ("Q2", "Z", "m1"), ("Q3", "X", "m2"),
-         ("Q4", "Y", "m2")],  # Q4: suppressed (no results at all)
+         ("Q4", "Y", "m2"),  # Q4: suppressed (no results at all)
+         ("Q5", "B", "m3"), ("Q6", "D", "m3")],
         "query_id string, target_id string, method string",
     )
     rows = {
@@ -305,6 +315,8 @@ def test_failure_records_tie_and_suppression(spark):
     assert rows["Q2"]["target_in_topk"]
     assert not rows["Q3"]["is_top1_hit"] and rows["Q3"]["target_rank"] is None
     assert rows["Q4"]["suppressed"] and rows["Q4"]["top1_score"] == 0.0
+    assert rows["Q5"]["is_top1_hit"] and rows["Q5"]["target_rank"] == 2
+    assert rows["Q6"]["is_top1_hit"] and rows["Q6"]["top1_score"] == 0.8
 
 
 def test_error_analysis_over_real_search(spark):

@@ -392,3 +392,57 @@ def test_catalog_partitioned_read_pins_written_schema(spark, tmp_path):
     first = cat.read(spark, "t", snapshot=0)
     assert dict(first.dtypes)["part"] == "string"
     assert first.collect()[0]["part"] == "01"
+
+
+def test_catalog_append_schema_mismatch_raises(spark, tmp_path):
+    """read() pins the manifest schema over every root, so a drifting
+    append would surface as SILENT null-fill/column loss — write() must
+    reject it loudly instead (r4 review)."""
+    from company_name_matching_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(str(tmp_path / "catsch"))
+    cat.write("t", spark.createDataFrame([(1, "a", "p")],
+                                         "id long, v string, part string"),
+              partition_by=["part"])
+    # missing column
+    with pytest.raises(ValueError, match="append schema"):
+        cat.write("t", spark.createDataFrame([(2, "p")], "id long, part string"),
+                  mode="append")
+    # changed type
+    with pytest.raises(ValueError, match="append schema"):
+        cat.write("t", spark.createDataFrame([("2", "b", "p")],
+                                             "id string, v string, part string"),
+                  mode="append")
+    # same names+types, different field order: fine (unionByName)
+    cat.write("t", spark.createDataFrame([("b", 2, "q")],
+                                         "v string, id long, part string"),
+              mode="append")
+    got = cat.read(spark, "t")
+    assert got.count() == 2 and set(got.columns) == {"id", "v", "part"}
+
+
+def test_hybrid_dense_dim_mismatch_raises(spark):
+    """An encoder whose output width differs from dense_dim would null-pad
+    against the hyperplanes and silently collapse every record into one
+    bucket per table (a full cross join at scale) — must raise instead."""
+    def bad_factory():
+        import numpy as np
+
+        def enc(texts):
+            out = np.ones((len(texts), 32), dtype=np.float32)
+            return out / np.linalg.norm(out, axis=1, keepdims=True)
+
+        return enc
+
+    corpus = spark.createDataFrame(
+        [("A", "CÔNG TY TNHH SAO MAI")], "company_id string, name string"
+    )
+    queries = spark.createDataFrame(
+        [("Q1", "sao mai")], "query_id string, query_text string"
+    )
+    with pytest.raises(ValueError, match="32-d vectors"):
+        search_topk(
+            corpus, queries,
+            SearchConfig(model="hybrid_dense", dense_dim=64,
+                         dense_encoder_factory=bad_factory),
+        )
