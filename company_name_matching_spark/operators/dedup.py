@@ -110,18 +110,6 @@ def _verify_exact_jaccard(
     return _finish_exact_jaccard(paired, threshold)
 
 
-def _candidate_ids(cand: DataFrame) -> DataFrame:
-    """Distinct doc ids appearing on either side of a candidate-pair list —
-    the semi-join key that prunes verify-feature extraction to docs that
-    actually produced a candidate (on a long-tail corpus most docs never
-    do, so unpruned feature scans grow with corpus, not candidates)."""
-    return (
-        cand.select(F.col("left_id").alias("id"))
-        .union(cand.select(F.col("right_id").alias("id")))
-        .dropDuplicates()
-    )
-
-
 def jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -197,8 +185,14 @@ def jaccard_pairs_prefix(
     # only lengthen prefixes, never shorten them, so losslessness holds
     prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
     ranked = tok.join(df_t, "tok").withColumn("_p", F.row_number().over(w))
-    prefix = ranked.where(F.col("_p") <= prefix_len).select(
-        "id", "bk", "tok", "n", "_p"
+    # materialize: the df-join + rank window feeds BOTH sides of the
+    # candidate self-join AND the verify-feature id pruning below — three
+    # scans of a stored narrow table instead of three recomputes
+    prefix = materialize(
+        ranked.where(F.col("_p") <= prefix_len).select(
+            "id", "bk", "tok", "n", "_p"
+        ),
+        "ppj_prefix",
     )
     # positional filter (PPJoin): a pair with J ≥ t needs overlap
     # α = ceil(t/(1+t)·(|A|+|B|)); matching at prefix positions (p_l, p_r)
@@ -235,14 +229,28 @@ def jaccard_pairs_prefix(
         .dropDuplicates(["left_id", "right_id"])
     )
     # verify on INTEGER token-id arrays (see _verify_exact_jaccard), built
-    # ONLY for docs that appear in a candidate pair (VERDICT r3 #1): on a
-    # long-tail corpus most docs share no prefix token with anything in
-    # their block, so an unpruned feature scan grows with corpus size while
-    # this semi-joined one grows with the candidate set — the same pruning
-    # minhash_pairs applies.
-    cand = materialize(cand, "ppj_cand")
+    # ONLY for docs that can appear in a candidate pair (VERDICT r3 #1):
+    # on a long-tail corpus most docs share no prefix token with anything
+    # in their block, so an unpruned feature scan grows with corpus size.
+    # The pruning id-set comes from the BUCKET populations (prefix tokens
+    # shared by ≥2 docs) — a lossless superset of the exact candidate ids
+    # that costs one aggregation over the small prefix table, instead of
+    # materializing the multi-million-row pair list just to distinct its
+    # ids (measured: the pair-list barrier cost more than the pruning
+    # saved on dup-heavy corpora).
+    shared = (
+        prefix.groupBy("bk", "tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= 2)
+        .select("bk", "tok")
+    )
+    cand_ids = (
+        prefix.join(shared, ["bk", "tok"], "left_semi")
+        .select("id")
+        .dropDuplicates()
+    )
     ids = materialize(
-        d.join(_candidate_ids(cand), "id", "left_semi")
+        d.join(cand_ids, "id", "left_semi")
         .select("id", F.expr("transform(toks, t -> xxhash64(t))").alias("tids"),
                 "n"),
         "ppj_tids",
@@ -296,7 +304,9 @@ def minhash_pairs(
         F.col("id").alias("record_id"),
         F.explode(blocking.band_keys_from_sig(F.col("sig"), cfg)).alias("block_key"),
     )
-    bands = blocking.filter_blocks(bands, cfg)
+    # materialize: the size-agg + keep-join of filter_blocks feeds both
+    # sides of the candidate self-join AND the verify-id pruning
+    bands = materialize(blocking.filter_blocks(bands, cfg), "mh_bands")
     cand = (
         bands.alias("l")
         .join(bands.alias("r"), "block_key")
@@ -318,11 +328,14 @@ def minhash_pairs(
 
     # verify features only for docs that actually appear in a candidate
     # pair — on a long-tail corpus most docs share no band bucket and need
-    # no trigram extraction (same pruning score_pairs applies to its keys)
-    cand = materialize(cand, "mh_cand")
+    # no trigram extraction (same pruning score_pairs applies to its keys).
+    # filter_blocks already dropped singleton buckets, so every id left in
+    # `bands` is in ≥1 candidate pair: the distinct band ids ARE the exact
+    # candidate-id set, with no need to materialize the pair list first.
+    cand_ids = bands.select(F.col("record_id").alias("id")).dropDuplicates()
     tg_arr = F.array_distinct(trigram_strings_col(F.col("ctext")))
     tg = materialize(
-        d.join(_candidate_ids(cand), "id", "left_semi")
+        d.join(cand_ids, "id", "left_semi")
         .select("id", tg_arr.alias("tg_s"), F.size(tg_arr).alias("n"))
         .select("id", F.expr("transform(tg_s, t -> xxhash64(t))").alias("tids"),
                 "n"),
