@@ -20,6 +20,8 @@ vs the reference.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -110,6 +112,70 @@ def bm25_scores(
     return scored.select(F.col("doc").alias(id_col), "bm25")
 
 
+@dataclass
+class BmCorpusStats:
+    """Corpus-side BM25 state shared across scoring calls: postings and
+    doc lengths (corpus-bounded tables — optionally materialized so
+    multiple consumers scan parquet instead of re-running the tokenize +
+    aggregate pipeline), the floored idf table, and the two scalars."""
+
+    postings: DataFrame
+    doclens: DataFrame
+    idf: DataFrame | None
+    n_docs: int
+    avgdl: float
+
+
+def corpus_stats(
+    corpus: DataFrame,
+    id_col: str = "record_id",
+    tokens_col: str = "tokens",
+    epsilon: float = EPSILON,
+    materialized: bool = False,
+) -> BmCorpusStats:
+    """Build the corpus-side BM25 state once. With ``materialized=True``
+    the postings/doclens/idf tables are written through the parquet
+    barrier, so several downstream scorings (candidate-pair channel +
+    corpus-wide per-query max in hybrid search) share one tokenize +
+    aggregation pipeline instead of re-executing it per consumer —
+    WITHOUT ever persisting a query×doc score table (whose size is
+    Σ_{t∈q} df(t), unbounded by the candidate set)."""
+    c_toks = corpus.select(
+        F.col(id_col).alias("doc"), F.explode(F.col(tokens_col)).alias("term")
+    )
+    postings = c_toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doclens = c_toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    if materialized:
+        from company_name_matching_spark.sources.store import materialize
+
+        postings = materialize(postings, "bm25_postings")
+        doclens = materialize(doclens, "bm25_doclens")
+    n_docs = corpus.count()
+    avgdl = float(doclens.agg(F.avg("dl")).collect()[0][0] or 0.0)
+    if n_docs == 0 or avgdl <= 0.0:
+        return BmCorpusStats(postings, doclens, None, n_docs, avgdl)
+    raw_idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    df_all = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avg_idf = float(
+        df_all.agg(
+            (
+                F.sum(raw_idf.cast("decimal(30,15)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("ai")
+        ).collect()[0][0]
+    )
+    idf = df_all.withColumn(
+        "idf", F.when(raw_idf < 0, F.lit(epsilon * avg_idf)).otherwise(raw_idf)
+    ).select("term", "idf")
+    if materialized:
+        from company_name_matching_spark.sources.store import materialize
+
+        idf = materialize(idf, "bm25_idf")
+    return BmCorpusStats(postings, doclens, idf, n_docs, avgdl)
+
+
 def bm25_pair_scores(
     corpus: DataFrame,
     queries: DataFrame,
@@ -119,6 +185,7 @@ def bm25_pair_scores(
     k1: float = K1,
     b: float = B,
     epsilon: float = EPSILON,
+    stats: BmCorpusStats | None = None,
 ) -> DataFrame:
     """BM25 of (query, doc) for an explicit candidate-pair list — the
     retrieval channel of the reference's tfidf+BM25 hybrid
@@ -139,36 +206,15 @@ def bm25_pair_scores(
     corpus × queries; used by :func:`bm25_query_max` for corpus-wide
     max normalization.
     """
-    c_toks = corpus.select(
-        F.col(id_col).alias("doc"), F.explode(F.col(tokens_col)).alias("term")
-    )
-    postings = c_toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    doclens = c_toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
-    n_docs = corpus.count()
-    avgdl = float(doclens.agg(F.avg("dl")).collect()[0][0] or 0.0)
-    if n_docs == 0 or avgdl <= 0.0:
+    st = stats or corpus_stats(corpus, id_col, tokens_col, epsilon)
+    if st.n_docs == 0 or st.avgdl <= 0.0:
         empty = pairs if pairs is not None else corpus.select(
             F.col(id_col).alias("left_id"), F.col(id_col).alias("right_id")
         )
         return empty.select(
             "left_id", "right_id", F.lit(0.0).alias("bm25")
         ).where(F.lit(False))
-
-    raw_idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    df_all = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    avg_idf = float(
-        df_all.agg(
-            (
-                F.sum(raw_idf.cast("decimal(30,15)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("ai")
-        ).collect()[0][0]
-    )
-    idf = df_all.withColumn(
-        "idf", F.when(raw_idf < 0, F.lit(epsilon * avg_idf)).otherwise(raw_idf)
-    ).select("term", "idf")
+    postings, doclens, idf, avgdl = st.postings, st.doclens, st.idf, st.avgdl
 
     q_terms = (
         queries.select(
@@ -223,6 +269,7 @@ def bm25_query_max(
     k1: float = K1,
     b: float = B,
     epsilon: float = EPSILON,
+    stats: BmCorpusStats | None = None,
 ) -> DataFrame:
     """Per-query CORPUS-WIDE BM25 maximum — the reference's normalizer
     (``matching/matcher.py:371-373``: ``bm25_scores_raw.max()`` over
@@ -236,7 +283,7 @@ def bm25_query_max(
     the price of the reference's own normalization semantics.
     """
     all_scores = bm25_pair_scores(
-        corpus, queries, None, id_col, tokens_col, k1, b, epsilon
+        corpus, queries, None, id_col, tokens_col, k1, b, epsilon, stats
     )
     return all_scores.groupBy("left_id").agg(
         F.max("bm25").alias("bm25_max")

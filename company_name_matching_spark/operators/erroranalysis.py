@@ -70,8 +70,12 @@ def failure_records(
         F.col("rank").asc(), F.col("company_id").asc()
     )
     ordered = results.withColumn("_pos", F.row_number().over(w))
+    # keyed to _pos (row_number in engine order), NOT the literal rank
+    # label: a 0-based or post-filtered rank column would otherwise make
+    # every query look suppressed while target_in_topk stayed true
+    # (r4 review)
     per_q = ordered.groupBy(query_id).agg(
-        F.max(F.when(F.col("rank") == 1, F.col("score"))).alias("top1_score"),
+        F.max(F.when(F.col("_pos") == 1, F.col("score"))).alias("top1_score"),
         F.collect_list(F.struct("_pos", "company_id", "score")).alias(
             "_ranked"
         ),

@@ -182,16 +182,18 @@ def search_topk(
             md5_hyperplanes,
         )
 
+        # the default stand-in must emit cfg.dense_dim-wide vectors (its
+        # own default is 64, which would trip the dimension guard below
+        # for any other dense_dim with no way to follow the guard's advice)
+        factory = cfg.dense_encoder_factory or (
+            lambda dim=cfg.dense_dim: encode.hash_encoder(dim)
+        )
         cv = materialize(
-            encode.encode_texts(
-                c, cfg.dense_encoder_factory, "record_id", "match_key", "v"
-            ),
+            encode.encode_texts(c, factory, "record_id", "match_key", "v"),
             "search_cvec",
         )
         qv = materialize(
-            encode.encode_texts(
-                q, cfg.dense_encoder_factory, "record_id", "match_key", "v"
-            ),
+            encode.encode_texts(q, factory, "record_id", "match_key", "v"),
             "search_qvec",
         )
         # dimension guard: a drop-in encoder whose output width differs
@@ -259,24 +261,23 @@ def search_topk(
             # reference parity (matcher.py:371-373): normalize by the
             # per-query max over the WHOLE corpus, so min_score thresholds
             # and confidence tiers transfer from the reference unchanged.
-            # ONE corpus pipeline: the pairs=None all-matching-docs scores
-            # are a strict superset of the candidate-pair scores, so the
-            # same materialized table serves both the per-pair channel
-            # (inner join to the candidate list) and the per-query max
-            # (groupBy) — running bm25_pair_scores AND bm25_query_max
-            # separately would re-execute the corpus tokenize/postings/
-            # doclens/avgdl/avg_idf pipeline twice (r4 review).
-            all_b = materialize(
-                bm25_mod.bm25_pair_scores(c, q, None), "bm25_all_scores"
-            )
-            b = scored.select("left_id", "right_id").join(
-                all_b, ["left_id", "right_id"]
+            # ONE corpus pipeline: postings/doclens/idf (corpus-bounded
+            # tables) are built and materialized once and shared by the
+            # candidate-pair channel and the per-query max. The query×doc
+            # score table itself is NEVER persisted — its size is
+            # Σ_{t∈q} df(t), unbounded by the candidate set (it only
+            # streams through the max aggregation), and materializing it
+            # would fill scratch on high-df query terms at scale
+            # (r4 review, both passes).
+            st = bm25_mod.corpus_stats(c, materialized=True)
+            b = bm25_mod.bm25_pair_scores(
+                c, q, scored.select("left_id", "right_id"), stats=st
             )
             b = b.join(
-                all_b.groupBy("left_id").agg(F.max("bm25").alias("_bmax")),
+                bm25_mod.bm25_query_max(c, q, stats=st),
                 "left_id",
                 "left",
-            ).withColumn("_bmax", F.coalesce(F.col("_bmax"), F.lit(0.0)))
+            ).withColumn("_bmax", F.coalesce(F.col("bm25_max"), F.lit(0.0)))
         else:
             b = bm25_mod.bm25_pair_scores(
                 c, q, scored.select("left_id", "right_id")

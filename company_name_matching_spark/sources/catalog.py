@@ -32,6 +32,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _strip_nullability(t):
+    """Drop nullable/containsNull/valueContainsNull flags from a schema
+    type JSON, recursively. A parquet round-trip flips containsNull on
+    array columns (false→true), so comparing raw type JSON would falsely
+    reject routine appends whose data came back through spark.read.parquet
+    — nullability is writer-irrelevant for this catalog's append check."""
+    if isinstance(t, dict):
+        return {
+            k: _strip_nullability(v)
+            for k, v in t.items()
+            if k not in ("nullable", "containsNull", "valueContainsNull")
+        }
+    if isinstance(t, list):
+        return [_strip_nullability(x) for x in t]
+    return t
+
+
 class ParquetCatalog:
     def __init__(self, root: str):
         self.root = Path(root)
@@ -109,11 +126,13 @@ class ParquetCatalog:
             cur_schema = cur.get("schema_json")
             if cur_schema:
                 want = {
-                    (f["name"], json.dumps(f["type"], sort_keys=True))
+                    (f["name"], json.dumps(_strip_nullability(f["type"]),
+                                           sort_keys=True))
                     for f in json.loads(cur_schema)["fields"]
                 }
                 got = {
-                    (f["name"], json.dumps(f["type"], sort_keys=True))
+                    (f["name"], json.dumps(_strip_nullability(f["type"]),
+                                           sort_keys=True))
                     for f in json.loads(df.schema.json())["fields"]
                 }
                 if got != want:
@@ -123,6 +142,15 @@ class ParquetCatalog:
                         "(names+types must be identical; this catalog does "
                         "not model schema evolution)"
                     )
+        # append snapshots re-commit the TABLE's schema, not the appender's:
+        # the check above proved them equivalent, but a field-order-
+        # differing append must not silently reorder read()'s column order
+        # for the whole table (r4 review)
+        schema_json_out = (
+            cur.get("schema_json") or df.schema.json()
+            if mode == "append" and meta["current"] >= 0
+            else df.schema.json()
+        )
         snap = meta["current"] + 1
         idx = self._next_data_idx(meta)
         writer = df.write.mode("overwrite")
@@ -142,7 +170,7 @@ class ParquetCatalog:
              # TYPE inference never runs per-root — values like '01' vs
              # '1a' across appends can't infer different types and break
              # or silently widen the union (ADVICE r4)
-             "schema_json": df.schema.json()}
+             "schema_json": schema_json_out}
         )
         meta["current"] = snap
         self._commit(name, meta)

@@ -365,3 +365,21 @@ def test_error_analysis_over_real_search(spark):
     assert dist.get("method:mislabel", 0) == 1
     n_fail = fails.count()
     assert 2 <= n_fail <= 4  # planted failures dominate; accuracy stays high
+
+
+def test_failure_records_rank_label_robust(spark):
+    """(r4 review) outcome fields key to engine ORDER (row position), not
+    the literal rank label: a 0-based rank column must not make queries
+    look suppressed."""
+    from company_name_matching_spark.operators import erroranalysis
+
+    results = spark.createDataFrame(
+        [("Q1", "A", 0.9, 0), ("Q1", "B", 0.5, 1)],  # 0-based ranks
+        "query_id string, company_id string, score double, rank int",
+    )
+    queries = spark.createDataFrame(
+        [("Q1", "A", "m")], "query_id string, target_id string, method string"
+    )
+    r = erroranalysis.failure_records(results, queries).collect()[0]
+    assert not r["suppressed"] and r["top1_score"] == 0.9
+    assert r["is_top1_hit"] and r["target_rank"] == 1

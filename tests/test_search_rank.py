@@ -446,3 +446,46 @@ def test_hybrid_dense_dim_mismatch_raises(spark):
             SearchConfig(model="hybrid_dense", dense_dim=64,
                          dense_encoder_factory=bad_factory),
         )
+
+
+def test_catalog_append_nullability_and_order_stability(spark, tmp_path):
+    """(r4 review) A parquet round-trip flips containsNull on array
+    columns — such appends must pass the schema check; and an accepted
+    field-order-differing append must NOT reorder read()'s columns (the
+    table schema stays authoritative)."""
+    from company_name_matching_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(str(tmp_path / "catnul"))
+    df = spark.createDataFrame([(1, "a b")], "id long, s string").selectExpr(
+        "id", "split(s, ' ') AS toks"  # containsNull=false in-memory
+    )
+    cat.write("t", df)
+    # round-trip through parquet: containsNull comes back true
+    rt = spark.read.parquet(str(tmp_path / "rt"), ) if False else None
+    df.write.parquet(str(tmp_path / "rt"))
+    back = spark.read.parquet(str(tmp_path / "rt"))
+    cat.write("t", back, mode="append")  # must NOT raise
+    assert cat.read(spark, "t").count() == 2
+    # order-differing append keeps the ORIGINAL column order on read
+    cat2 = ParquetCatalog(str(tmp_path / "catord"))
+    cat2.write("o", spark.createDataFrame([(1, "x")], "id long, v string"))
+    cat2.write("o", spark.createDataFrame([("y", 2)], "v string, id long"),
+               mode="append")
+    assert cat2.read(spark, "o").columns == ["id", "v"]
+
+
+def test_hybrid_dense_default_encoder_tracks_dense_dim(spark):
+    """(r4 review) hybrid_dense with a non-default dense_dim and NO custom
+    factory must work: the default stand-in is built at cfg.dense_dim."""
+    corpus = spark.createDataFrame(
+        [("A", "CÔNG TY TNHH SAO MAI"), ("B", "CÔNG TY TNHH BINH MINH")],
+        "company_id string, name string",
+    )
+    queries = spark.createDataFrame(
+        [("Q1", "sao mai")], "query_id string, query_text string"
+    )
+    res = search_topk(
+        corpus, queries, SearchConfig(k=1, model="hybrid_dense", dense_dim=32)
+    )
+    rows = res.collect()
+    assert rows and rows[0]["company_id"] == "A"
