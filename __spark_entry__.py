@@ -437,6 +437,28 @@ def error_tags_parts(spark, sf_dir):
     )
 
 
+def docs_winnow_fingerprints(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (Schleimer'03,
+    ``functions/textstats.winnow_fingerprint_table``) over documents — per-doc
+    sketch summary: selection size, extremes, and a bit_xor digest of the
+    selected 60-bit gram hashes (ANSI-safe checksum). The md5-top-15-hex
+    gram hash is engine-portable, so the DuckDB oracle recomputes the full
+    k-gram → rolling window → min-selection pipeline exactly."""
+    from company_name_matching_spark.functions import textstats
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
+    fp = textstats.winnow_fingerprint_table(d)
+    return fp.select(
+        "doc_id",
+        F.size("fp").alias("n_fp"),
+        F.element_at("fp", 1).alias("min_fp"),
+        F.element_at("fp", -1).alias("max_fp"),
+        F.aggregate(
+            "fp", F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x)
+        ).alias("fp_xor"),
+    ).orderBy("doc_id")
+
+
 BM25_QUERY_TERMS = ["spark", "table", "join"]
 
 
@@ -1120,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_jaccard_neardup": docs_jaccard_neardup,
         "threshold_sweep_docs": threshold_sweep_docs,
         "error_tags_parts": error_tags_parts,
+        "docs_winnow_fingerprints": docs_winnow_fingerprints,
         "docs_minhash_neardup": docs_minhash_neardup,
         "docs_simhash_neardup": docs_simhash_neardup,
         "emb_neardup": emb_neardup,

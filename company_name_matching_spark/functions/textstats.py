@@ -95,3 +95,70 @@ def fingerprint(text: Column) -> Column:
     """Canonical document fingerprint: md5 of lowercase, whitespace-collapsed
     text — the exact-dedup key."""
     return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def winnow_gram_hashes(canon: Column, k: int = 8) -> Column:
+    """60-bit rolling k-gram hashes of an ALREADY-STAGED canonical text
+    column (md5 top-15-hex — DuckDB-reproducible). ``canon`` must be a
+    bound column, not an inline expression: higher-order lambdas re-evaluate
+    every non-lambda subexpression per element (no CSE), so an inline
+    regexp canonicalization would run once per gram."""
+    n_grams = F.greatest(F.length(canon) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(
+            F.substring(F.md5(canon.substr(i, F.lit(k))), 1, 15), 16, 10
+        ).cast("long"),
+    )
+
+
+def winnow_select_mins(hashes: Column, w: int = 4) -> Column:
+    """Distinct sorted window minima over a STAGED hash-array column (the
+    winnowing selection). Same staging rule as winnow_gram_hashes: an
+    inline ``hashes`` expression would be recomputed per window (O(n²))."""
+    n_windows = F.greatest(F.size(hashes) - F.lit(w - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(hashes, i, F.lit(w))),
+    )
+    return F.sort_array(F.array_distinct(mins))
+
+
+def winnow_fingerprint_table(docs, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             k: int = 8, w: int = 4):
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03) — the rolling-hash near-dup fingerprint a plagiarism/
+    boilerplate detector selects: hash every character ``k``-gram of the
+    canonical text, slide a window of ``w`` consecutive hashes, keep each
+    window's MINIMUM, return the distinct sorted selection per doc.
+
+    Guarantee: any shared substring of length ≥ ``w + k - 1`` between two
+    documents contributes at least one shared fingerprint, while the
+    selected set is ~2/(w+1) of all grams — a sketch whose size tracks
+    content, not corpus.
+
+    DataFrame-level on purpose: each stage (canonicalize → gram-hash →
+    window-min) materializes through the parquet barrier so the arrays are
+    computed ONCE per doc — fused column expressions re-evaluate nested
+    arrays per lambda element (measured: O(n·w) becomes O(n²·regex) and a
+    2 KB doc corpus times out). Returns (id_col, fp array<long>).
+    """
+    from company_name_matching_spark.sources.store import materialize
+
+    canon = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    # small parquet inputs arrive as one split; spread the CPU-bound
+    # gram-hash stage across the cluster first (same move as minhash_pairs)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    s1 = materialize(
+        docs.select(F.col(id_col), canon.alias("_ct")), "winnow_canon"
+    )
+    s2 = materialize(
+        s1.select(
+            id_col, winnow_gram_hashes(F.col("_ct"), k).alias("_gh")
+        ),
+        "winnow_hashes",
+    )
+    return s2.select(
+        id_col, winnow_select_mins(F.col("_gh"), w).alias("fp")
+    )

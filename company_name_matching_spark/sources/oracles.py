@@ -317,6 +317,34 @@ def build_oracles() -> dict[str, str]:
                             JOIN doclens d ON p.doc = d.doc, consts c
             GROUP BY 1 ORDER BY 1
         """,
+        # winnow_fingerprints twin: k-gram md5-top-15-hex hashes, rolling
+        # window of w, min per window, distinct sorted; summary stats per
+        # doc (xor digest folds the same way in both engines)
+        "docs_winnow_fingerprints": """
+            WITH c AS (
+                SELECT doc_id,
+                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ct
+                FROM documents WHERE doc_id <= 300
+            ), h AS (
+                SELECT doc_id,
+                       [('0x' || substring(md5(substring(ct, i, 8)), 1, 15))::BIGINT
+                        for i in range(1, greatest(length(ct) - 7, 1) + 1)] AS hs
+                FROM c
+            ), fp AS (
+                SELECT doc_id,
+                       list_sort(list_distinct(
+                           [list_min(hs[i : i + 3])
+                            for i in range(1, greatest(len(hs) - 3, 1) + 1)]
+                       )) AS fp
+                FROM h
+            )
+            SELECT doc_id,
+                   CAST(len(fp) AS INT) AS n_fp,
+                   fp[1] AS min_fp,
+                   fp[-1] AS max_fp,
+                   list_reduce(fp, (a, b) -> CAST(xor(a, b) AS BIGINT)) AS fp_xor
+            FROM fp ORDER BY doc_id
+        """,
         "docs_fingerprint_groups": f"""
             SELECT {_fingerprint('text')} AS fingerprint,
                    COUNT(*) AS group_size, MIN(doc_id) AS canonical_id

@@ -383,3 +383,44 @@ def test_failure_records_rank_label_robust(spark):
     r = erroranalysis.failure_records(results, queries).collect()[0]
     assert not r["suppressed"] and r["top1_score"] == 0.9
     assert r["is_top1_hit"] and r["target_rank"] == 1
+
+
+def test_winnow_fingerprints_match_reference_impl(spark):
+    """Winnowing selection (textstats.winnow_fingerprint_table) must equal
+    a direct python implementation of Schleimer'03 (k-gram md5-60bit
+    rolling hashes, window-of-w minima, distinct sorted) and satisfy the
+    guarantee: docs sharing a substring of >= w+k-1 chars share >= 1
+    fingerprint."""
+    import hashlib
+    import re
+
+    from company_name_matching_spark.functions import textstats
+
+    def py_winnow(text, k=8, w=4):
+        canon = re.sub(r"\s+", " ", text.strip()).lower()
+        n = max(len(canon) - k + 1, 1)
+        hs = [
+            int(hashlib.md5(canon[i:i + k].encode()).hexdigest()[:15], 16)
+            for i in range(n)
+        ]
+        nw = max(len(hs) - w + 1, 1)
+        return sorted({min(hs[i:i + w]) for i in range(nw)})
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "  The   quick BROWN fox jumps over a sleepy dog ",
+        "completely unrelated text about spark shuffles",
+        "ab",  # shorter than one gram: single truncated gram, 1 fp
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["fp"])
+        for r in textstats.winnow_fingerprint_table(df).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_winnow(t), i
+    # guarantee: texts 0 and 1 share "fox jumps over" (>= 11 = w+k-1 chars)
+    assert set(got[0]) & set(got[1])
+    assert not set(got[0]) & set(got[2])
