@@ -459,6 +459,20 @@ def docs_winnow_fingerprints(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def docs_winnow_neardup(spark, sf_dir):
+    """Substring-level near-dup via winnowing fingerprint sets
+    (``dedup.winnow_pairs``): exact Jaccard ≥ 0.5 over the Schleimer'03
+    selection, lang-blocked, through the lossless prefix-filter join —
+    output provably equals the quadratic join over fingerprint sets, which
+    is exactly what the DuckDB oracle computes."""
+    from company_name_matching_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.winnow_pairs(d, block_col="lang", threshold=0.5).orderBy(
+        "left_id", "right_id"
+    )
+
+
 BM25_QUERY_TERMS = ["spark", "table", "join"]
 
 
@@ -1143,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_sweep_docs": threshold_sweep_docs,
         "error_tags_parts": error_tags_parts,
         "docs_winnow_fingerprints": docs_winnow_fingerprints,
+        "docs_winnow_neardup": docs_winnow_neardup,
         "docs_minhash_neardup": docs_minhash_neardup,
         "docs_simhash_neardup": docs_simhash_neardup,
         "emb_neardup": emb_neardup,

@@ -126,7 +126,8 @@ def winnow_select_mins(hashes: Column, w: int = 4) -> Column:
 
 def winnow_fingerprint_table(docs, id_col: str = "doc_id",
                              text_col: str = "text",
-                             k: int = 8, w: int = 4):
+                             k: int = 8, w: int = 4,
+                             extra_cols: tuple = ()):
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
     SIGMOD'03) — the rolling-hash near-dup fingerprint a plagiarism/
     boilerplate detector selects: hash every character ``k``-gram of the
@@ -142,7 +143,9 @@ def winnow_fingerprint_table(docs, id_col: str = "doc_id",
     window-min) materializes through the parquet barrier so the arrays are
     computed ONCE per doc — fused column expressions re-evaluate nested
     arrays per lambda element (measured: O(n·w) becomes O(n²·regex) and a
-    2 KB doc corpus times out). Returns (id_col, fp array<long>).
+    2 KB doc corpus times out). Returns (id_col, *extra_cols,
+    fp array<long>); ``extra_cols`` (e.g. a blocking column) ride through
+    the stages.
     """
     from company_name_matching_spark.sources.store import materialize
 
@@ -150,15 +153,18 @@ def winnow_fingerprint_table(docs, id_col: str = "doc_id",
     # small parquet inputs arrive as one split; spread the CPU-bound
     # gram-hash stage across the cluster first (same move as minhash_pairs)
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    extras = [F.col(c) for c in extra_cols]
     s1 = materialize(
-        docs.select(F.col(id_col), canon.alias("_ct")), "winnow_canon"
+        docs.select(F.col(id_col), *extras, canon.alias("_ct")),
+        "winnow_canon",
     )
     s2 = materialize(
         s1.select(
-            id_col, winnow_gram_hashes(F.col("_ct"), k).alias("_gh")
+            id_col, *extra_cols,
+            winnow_gram_hashes(F.col("_ct"), k).alias("_gh"),
         ),
         "winnow_hashes",
     )
     return s2.select(
-        id_col, winnow_select_mins(F.col("_gh"), w).alias("fp")
+        id_col, *extra_cols, winnow_select_mins(F.col("_gh"), w).alias("fp")
     )

@@ -345,6 +345,37 @@ def build_oracles() -> dict[str, str]:
                    list_reduce(fp, (a, b) -> CAST(xor(a, b) AS BIGINT)) AS fp_xor
             FROM fp ORDER BY doc_id
         """,
+        # winnow_pairs twin: full quadratic exact-Jaccard join over the
+        # winnowing fingerprint sets (lang-blocked) — the engine's lossless
+        # prefix-filter plan must produce the identical pair set
+        "docs_winnow_neardup": """
+            WITH c AS (
+                SELECT doc_id, lang,
+                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ct
+                FROM documents
+            ), h AS (
+                SELECT doc_id, lang,
+                       [('0x' || substring(md5(substring(ct, i, 8)), 1, 15))::BIGINT
+                        for i in range(1, greatest(length(ct) - 7, 1) + 1)] AS hs
+                FROM c
+            ), fp AS (
+                SELECT doc_id, lang,
+                       list_distinct(
+                           [list_min(hs[i : i + 3])
+                            for i in range(1, greatest(len(hs) - 3, 1) + 1)]
+                       ) AS fp
+                FROM h
+            ), sized AS (SELECT doc_id, lang, fp, len(fp) AS n FROM fp)
+            SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+                   ROUND(CAST(l.n + r.n - len(list_distinct(l.fp || r.fp)) AS DOUBLE)
+                         / len(list_distinct(l.fp || r.fp)), 6) AS jaccard
+            FROM sized l JOIN sized r
+                 ON l.lang = r.lang AND l.doc_id < r.doc_id
+                AND least(l.n, r.n) >= 0.5 * greatest(l.n, r.n)
+            WHERE CAST(l.n + r.n - len(list_distinct(l.fp || r.fp)) AS DOUBLE)
+                  / len(list_distinct(l.fp || r.fp)) >= 0.5
+            ORDER BY 1, 2
+        """,
         "docs_fingerprint_groups": f"""
             SELECT {_fingerprint('text')} AS fingerprint,
                    COUNT(*) AS group_size, MIN(doc_id) AS canonical_id

@@ -256,3 +256,43 @@ def test_prefix_ceil_guard_never_shortens_prefix():
         assert guarded_a >= exact_a - 1, (t, s, guarded_a, exact_a)
 
     check()
+
+
+def test_winnow_pairs_planted_and_equivalent(spark):
+    """winnow_pairs: (a) near-identical docs pair at fingerprint-Jaccard
+    >= t; (b) docs sharing only a boilerplate sentence share fingerprints
+    (the Schleimer guarantee) but correctly stay below the symmetric
+    near-dup threshold; (c) the lossless prefix-filter plan equals the
+    naive quadratic join over the same fingerprint sets."""
+    from company_name_matching_spark.functions import textstats
+    from company_name_matching_spark.operators import dedup
+
+    boiler = "subscribe to our newsletter for weekly updates and offers"
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "the quick brown fox jumps over the lazy dog near the rivers"),
+        (3, f"completely different article about spark shuffles. {boiler}"),
+        (4, f"yet another unrelated story on query optimizers. {boiler}"),
+        (5, "nothing in common with anything else at all here"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = {(r["left_id"], r["right_id"]): r["jaccard"]
+             for r in dedup.winnow_pairs(d, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5
+    assert (3, 4) not in pairs  # boilerplate overlap diluted below 0.5
+    # ...but the guarantee holds: 3 and 4 DO share fingerprints
+    fp = {r["doc_id"]: set(r["fp"])
+          for r in textstats.winnow_fingerprint_table(d).collect()}
+    assert fp[3] & fp[4]
+    assert not (fp[1] & fp[5])
+    # naive quadratic twin over the same sets == prefix-filtered output
+    import itertools
+
+    naive = {}
+    for a, b in itertools.combinations(sorted(fp), 2):
+        inter = len(fp[a] & fp[b])
+        union = len(fp[a] | fp[b])
+        j = inter / union if union else 0.0
+        if j >= 0.5:
+            naive[(a, b)] = round(j, 6)
+    assert pairs == naive
