@@ -149,7 +149,9 @@ def winnow_fingerprint_table(docs, id_col: str = "doc_id",
     """
     from company_name_matching_spark.sources.store import materialize
 
-    canon = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    # collapse-then-trim strips ALL whitespace padding (F.trim alone
+    # leaves \t/\n, diverging from python str.strip() — r4 review)
+    canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     # small parquet inputs arrive as one split; spread the CPU-bound
     # gram-hash stage across the cluster first (same move as minhash_pairs)
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)

@@ -34,20 +34,6 @@ def _tokens(text_col):
     return F.split(F.trim(F.lower(text_col)), r"\s+")
 
 
-def doc_stats(docs: DataFrame, id_col: str = "doc_id",
-              text_col: str = "text") -> tuple[DataFrame, DataFrame, int, float]:
-    """(postings, doclens, N, avgdl): term frequencies per doc, doc lengths,
-    corpus size, average doc length — three aggregations, no Python."""
-    toks = docs.select(
-        F.col(id_col).alias("doc"), F.explode(_tokens(F.col(text_col))).alias("term")
-    )
-    postings = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    doclens = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
-    n_docs = docs.count()
-    avgdl = doclens.agg(F.avg("dl")).collect()[0][0] or 0.0
-    return postings, doclens, n_docs, float(avgdl)
-
-
 def bm25_scores(
     docs: DataFrame,
     query_terms: list[str],
@@ -65,29 +51,18 @@ def bm25_scores(
     (decimal-accumulated so the mean is order-independent cross-engine).
     """
     spark = docs.sparkSession
-    postings, doclens, n_docs, avgdl = doc_stats(docs, id_col, text_col)
-    if n_docs == 0 or avgdl <= 0.0:  # empty corpus: no scores, stable schema
+    st = corpus_stats(
+        docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("tokens")),
+        id_col, "tokens", epsilon,
+    )
+    if st.n_docs == 0 or st.avgdl <= 0.0:  # empty corpus: stable schema
         return docs.select(F.col(id_col), F.lit(0.0).alias("bm25")).where(F.lit(False))
+    postings, doclens, avgdl = st.postings, st.doclens, st.avgdl
     qt = spark.createDataFrame([(t.lower(),) for t in query_terms], "term string")
-    raw_idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    df_all = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    avg_idf = float(
-        df_all.agg(
-            (
-                F.sum(raw_idf.cast("decimal(30,15)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("ai")
-        ).collect()[0][0]
-    )
-    idf = (
-        df_all.join(F.broadcast(qt), "term")
-        .withColumn(
-            "idf",
-            F.when(raw_idf < 0, F.lit(epsilon * avg_idf)).otherwise(raw_idf),
-        )
-    )
+    # one idf/floor pipeline for the whole module: the epsilon·avg_idf
+    # floor lives only in corpus_stats (r4 review); restrict to the query
+    # terms after flooring (avg_idf is over the FULL vocabulary either way)
+    idf = st.idf.join(F.broadcast(qt), "term")
     scored = (
         postings.join(F.broadcast(idf), "term")
         .join(doclens, "doc")
@@ -124,6 +99,12 @@ class BmCorpusStats:
     idf: DataFrame | None
     n_docs: int
     avgdl: float
+    # the configuration the stats were built under — consumers validate
+    # against it so a prebuilt stats object can't be silently mixed with
+    # different tokenization or flooring (r4 review)
+    id_col: str = "record_id"
+    tokens_col: str = "tokens"
+    epsilon: float = EPSILON
 
 
 def corpus_stats(
@@ -153,7 +134,8 @@ def corpus_stats(
     n_docs = corpus.count()
     avgdl = float(doclens.agg(F.avg("dl")).collect()[0][0] or 0.0)
     if n_docs == 0 or avgdl <= 0.0:
-        return BmCorpusStats(postings, doclens, None, n_docs, avgdl)
+        return BmCorpusStats(postings, doclens, None, n_docs, avgdl,
+                             id_col, tokens_col, epsilon)
     raw_idf = F.log(
         (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
@@ -173,7 +155,8 @@ def corpus_stats(
         from company_name_matching_spark.sources.store import materialize
 
         idf = materialize(idf, "bm25_idf")
-    return BmCorpusStats(postings, doclens, idf, n_docs, avgdl)
+    return BmCorpusStats(postings, doclens, idf, n_docs, avgdl,
+                         id_col, tokens_col, epsilon)
 
 
 def bm25_pair_scores(
@@ -206,6 +189,19 @@ def bm25_pair_scores(
     corpus × queries; used by :func:`bm25_query_max` for corpus-wide
     max normalization.
     """
+    if stats is not None and (
+        stats.id_col != id_col
+        or stats.tokens_col != tokens_col
+        or stats.epsilon != epsilon
+    ):
+        raise ValueError(
+            "bm25_pair_scores stats were built with "
+            f"(id_col={stats.id_col!r}, tokens_col={stats.tokens_col!r}, "
+            f"epsilon={stats.epsilon}) but the call passes "
+            f"(id_col={id_col!r}, tokens_col={tokens_col!r}, "
+            f"epsilon={epsilon}) — scores would silently mix two "
+            "configurations"
+        )
     st = stats or corpus_stats(corpus, id_col, tokens_col, epsilon)
     if st.n_docs == 0 or st.avgdl <= 0.0:
         empty = pairs if pairs is not None else corpus.select(

@@ -110,8 +110,14 @@ class ParquetCatalog:
         spec-evolution DDL for that, which this catalog doesn't model).
         """
         meta = self._meta(name)
+        schema_json_out = df.schema.json()
         if mode == "append" and meta["current"] >= 0:
             cur = self._snapshot(meta, meta["current"])
+            # append snapshots re-commit the TABLE's schema, not the
+            # appender's: the check below proves them equivalent, but a
+            # field-order-differing append must not silently reorder
+            # read()'s column order for the whole table (r4 review)
+            schema_json_out = cur.get("schema_json") or schema_json_out
             cur_spec = cur.get("partition_by", [])
             if partition_by is None:
                 partition_by = cur_spec or None
@@ -142,15 +148,6 @@ class ParquetCatalog:
                         "(names+types must be identical; this catalog does "
                         "not model schema evolution)"
                     )
-        # append snapshots re-commit the TABLE's schema, not the appender's:
-        # the check above proved them equivalent, but a field-order-
-        # differing append must not silently reorder read()'s column order
-        # for the whole table (r4 review)
-        schema_json_out = (
-            cur.get("schema_json") or df.schema.json()
-            if mode == "append" and meta["current"] >= 0
-            else df.schema.json()
-        )
         snap = meta["current"] + 1
         idx = self._next_data_idx(meta)
         writer = df.write.mode("overwrite")

@@ -323,7 +323,7 @@ def build_oracles() -> dict[str, str]:
         "docs_winnow_fingerprints": """
             WITH c AS (
                 SELECT doc_id,
-                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ct
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ct
                 FROM documents WHERE doc_id <= 300
             ), h AS (
                 SELECT doc_id,
@@ -351,7 +351,7 @@ def build_oracles() -> dict[str, str]:
         "docs_winnow_neardup": """
             WITH c AS (
                 SELECT doc_id, lang,
-                       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ct
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ct
                 FROM documents
             ), h AS (
                 SELECT doc_id, lang,

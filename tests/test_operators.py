@@ -411,6 +411,7 @@ def test_winnow_fingerprints_match_reference_impl(spark):
         "  The   quick BROWN fox jumps over a sleepy dog ",
         "completely unrelated text about spark shuffles",
         "ab",  # shorter than one gram: single truncated gram, 1 fp
+        "\tthe quick  brown fox jumps over the lazy dog \n",
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
@@ -421,6 +422,10 @@ def test_winnow_fingerprints_match_reference_impl(spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == py_winnow(t), i
+    # tab/newline padding and internal whitespace runs canonicalize exactly
+    # like the python reference (strip + collapse): doc 4 is doc 0 with
+    # padding and a doubled space -> identical fingerprint sets
+    assert got[4] == got[0]
     # guarantee: texts 0 and 1 share "fox jumps over" (>= 11 = w+k-1 chars)
     assert set(got[0]) & set(got[1])
     assert not set(got[0]) & set(got[2])

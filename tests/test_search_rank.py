@@ -461,7 +461,6 @@ def test_catalog_append_nullability_and_order_stability(spark, tmp_path):
     )
     cat.write("t", df)
     # round-trip through parquet: containsNull comes back true
-    rt = spark.read.parquet(str(tmp_path / "rt"), ) if False else None
     df.write.parquet(str(tmp_path / "rt"))
     back = spark.read.parquet(str(tmp_path / "rt"))
     cat.write("t", back, mode="append")  # must NOT raise
