@@ -296,3 +296,40 @@ def test_winnow_pairs_planted_and_equivalent(spark):
         if j >= 0.5:
             naive[(a, b)] = round(j, 6)
     assert pairs == naive
+
+
+def test_ppjoin_randomized_equivalence_across_thresholds(spark):
+    """Seeded randomized differential test for the shared PPJoin core:
+    over a random corpus (skewed vocab, duplicate-heavy, variable lengths)
+    the lossless prefix-filter output must equal the naive quadratic join
+    at every threshold — including boundary-exact pairs (J == t)."""
+    import random
+
+    from company_name_matching_spark.operators import dedup
+
+    rng = random.Random(20260817)
+    vocab = [f"w{i}" for i in range(18)]
+    rows = []
+    for i in range(80):
+        n = rng.randint(1, 9)
+        toks = rng.sample(vocab, n)
+        rows.append((i, " ".join(toks)))
+        if rng.random() < 0.3:  # plant near-identical sibling
+            sib = list(toks)
+            if len(sib) > 1 and rng.random() < 0.5:
+                sib.pop()
+            else:
+                sib.append(rng.choice(vocab))
+            rows.append((1000 + i, " ".join(dict.fromkeys(sib))))
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    for t in (0.5, 0.75, 0.8):
+        fast = {
+            (r["left_id"], r["right_id"]): r["jaccard"]
+            for r in dedup.jaccard_pairs_prefix(d, threshold=t).collect()
+        }
+        naive = {
+            (r["left_id"], r["right_id"]): r["jaccard"]
+            for r in dedup.jaccard_pairs(d, threshold=t).collect()
+        }
+        assert fast == naive, (t, len(fast), len(naive))
+        assert naive, t  # the planted siblings guarantee non-vacuity
