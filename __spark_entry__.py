@@ -473,6 +473,20 @@ def docs_winnow_neardup(spark, sf_dir):
     )
 
 
+def docs_winnow_containment(spark, sf_dir):
+    """Asymmetric passage detection (``dedup.winnow_containment_pairs``):
+    fingerprint containment ≥ 0.6, lang-blocked, exact inverted-index
+    candidates (no cap → the quadratic DuckDB twin replays the result
+    identically). Catches long-page-contains-short-page relations the
+    symmetric ``docs_winnow_neardup`` Jaccard dilutes away."""
+    from company_name_matching_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.winnow_containment_pairs(
+        d, block_col="lang", threshold=0.6
+    ).orderBy("left_id", "right_id")
+
+
 BM25_QUERY_TERMS = ["spark", "table", "join"]
 
 
@@ -1158,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_tags_parts": error_tags_parts,
         "docs_winnow_fingerprints": docs_winnow_fingerprints,
         "docs_winnow_neardup": docs_winnow_neardup,
+        "docs_winnow_containment": docs_winnow_containment,
         "docs_minhash_neardup": docs_minhash_neardup,
         "docs_simhash_neardup": docs_simhash_neardup,
         "emb_neardup": emb_neardup,

@@ -585,3 +585,90 @@ def embedding_neardup_pairs_lsh(
         .where(F.col("cosine") >= threshold)
         .select("left_id", "right_id", "cosine")
     )
+
+
+def winnow_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    k: int = 8,
+    w: int = 4,
+    threshold: float = 0.8,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric boilerplate/passage detection: fingerprint CONTAINMENT
+    |A∩B| / min(|A|,|B|) ≥ threshold over winnowing fingerprint sets —
+    the query :func:`winnow_pairs` cannot answer (symmetric Jaccard
+    dilutes a copied paragraph inside a long page; containment does not,
+    because the smaller side IS the passage-bearing sketch).
+
+    Candidate generation is an inverted-index self-join on fingerprints —
+    LOSSLESS for any threshold > 0: C ≥ t forces |A∩B| ≥ t·min ≥ t > 0,
+    i.e. ≥ 1 shared fingerprint (integers), so every qualifying pair
+    shares a bucket. No size-ratio prune exists for containment (that is
+    the point — sizes may differ wildly), so hot fingerprints (corpus-wide
+    boilerplate) are the scale risk: ``max_fp_df`` drops fingerprints
+    shared by more than that many docs (each contributes O(df²) pairs).
+    Capping is a DOCUMENTED recall trade: a pair qualifying only through
+    capped fingerprints is lost — at web scale a fingerprint in >10⁴ docs
+    is template chrome, exactly what you want excluded. ``None`` (default)
+    keeps the join exact, which is what the DuckDB oracle replays.
+
+    Returns (left_id, right_id, containment, n_shared).
+    """
+    from company_name_matching_spark.functions import textstats
+    from company_name_matching_spark.sources.store import materialize
+
+    fp = textstats.winnow_fingerprint_table(
+        docs, id_col, text_col, k, w,
+        extra_cols=(block_col,) if block_col else (),
+    )
+    d = materialize(
+        fp.select(
+            F.col(id_col).alias("id"),
+            F.col("fp").alias("items"),
+            F.size("fp").alias("n"),
+            (F.col(block_col) if block_col else F.lit("all")).alias("bk"),
+        ),
+        "winc_items",
+    )
+    inv = d.select("id", "bk", F.explode("items").alias("f"))
+    if max_fp_df is not None:
+        sizes = inv.groupBy("bk", "f").agg(F.count(F.lit(1)).alias("_c"))
+        keep = sizes.where(F.col("_c") <= max_fp_df).select("bk", "f")
+        inv = inv.join(keep, ["bk", "f"])
+    cand = (
+        inv.alias("l")
+        .join(inv.alias("r"), ["bk", "f"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("left_id"), F.col("r.id").alias("right_id"))
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    paired = cand.join(
+        d.select(F.col("id").alias("left_id"), F.col("items").alias("l_it"),
+                 F.col("n").alias("l_n")),
+        "left_id",
+    ).join(
+        d.select(F.col("id").alias("right_id"), F.col("items").alias("r_it"),
+                 F.col("n").alias("r_n")),
+        "right_id",
+    )
+    inter = F.size(F.array_intersect("l_it", "r_it"))
+    return (
+        paired.withColumn("_i", inter)
+        .withColumn(
+            "containment",
+            F.when(
+                F.least("l_n", "r_n") > 0,
+                F.col("_i").cast("double")
+                / F.least("l_n", "r_n").cast("double"),
+            ).otherwise(0.0),
+        )
+        .where(F.col("containment") >= threshold)
+        .select(
+            "left_id", "right_id",
+            F.round("containment", 6).alias("containment"),
+            F.col("_i").alias("n_shared"),
+        )
+    )

@@ -376,6 +376,41 @@ def build_oracles() -> dict[str, str]:
                   / len(list_distinct(l.fp || r.fp)) >= 0.5
             ORDER BY 1, 2
         """,
+        # winnow_containment_pairs twin: quadratic containment join over
+        # the fingerprint sets (any qualifying pair shares >= 1 fp, so the
+        # engine's exact inverted-index candidates reproduce this exactly)
+        "docs_winnow_containment": """
+            WITH c AS (
+                SELECT doc_id, lang,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ct
+                FROM documents
+            ), h AS (
+                SELECT doc_id, lang,
+                       [('0x' || substring(md5(substring(ct, i, 8)), 1, 15))::BIGINT
+                        for i in range(1, greatest(length(ct) - 7, 1) + 1)] AS hs
+                FROM c
+            ), fp AS (
+                SELECT doc_id, lang,
+                       list_distinct(
+                           [list_min(hs[i : i + 3])
+                            for i in range(1, greatest(len(hs) - 3, 1) + 1)]
+                       ) AS fp
+                FROM h
+            ), sized AS (SELECT doc_id, lang, fp, len(fp) AS n FROM fp),
+            paired AS (
+                SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+                       l.n + r.n - len(list_distinct(l.fp || r.fp)) AS i,
+                       least(l.n, r.n) AS mn
+                FROM sized l JOIN sized r
+                     ON l.lang = r.lang AND l.doc_id < r.doc_id
+            )
+            SELECT left_id, right_id,
+                   ROUND(CAST(i AS DOUBLE) / mn, 6) AS containment,
+                   CAST(i AS INT) AS n_shared
+            FROM paired
+            WHERE mn > 0 AND CAST(i AS DOUBLE) / mn >= 0.6
+            ORDER BY 1, 2
+        """,
         "docs_fingerprint_groups": f"""
             SELECT {_fingerprint('text')} AS fingerprint,
                    COUNT(*) AS group_size, MIN(doc_id) AS canonical_id

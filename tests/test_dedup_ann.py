@@ -333,3 +333,36 @@ def test_ppjoin_randomized_equivalence_across_thresholds(spark):
         }
         assert fast == naive, (t, len(fast), len(naive))
         assert naive, t  # the planted siblings guarantee non-vacuity
+
+
+def test_winnow_containment_detects_embedded_passage(spark):
+    """winnow_containment_pairs: a short doc embedded verbatim inside a
+    long page scores containment ≈ 1 (detected) even though symmetric
+    Jaccard is far below any dedup threshold — the asymmetric boilerplate
+    query. max_fp_df capping drops corpus-wide template fingerprints."""
+    from company_name_matching_spark.operators import dedup
+
+    passage = ("subscribe to our weekly newsletter for updates offers "
+               "and exclusive member discounts every single friday")
+    rows = [
+        (1, passage),
+        (2, f"a very long page about spark shuffle internals and adaptive "
+            f"query execution with many details. {passage} plus yet more "
+            f"body text about partitions executors and codegen stages."),
+        (3, "entirely unrelated content about cooking rice properly"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {(r["left_id"], r["right_id"]): r["containment"]
+           for r in dedup.winnow_containment_pairs(d, threshold=0.8).collect()}
+    assert (1, 2) in out and out[(1, 2)] >= 0.8, out
+    assert all(k == (1, 2) for k in out)
+    # symmetric jaccard correctly does NOT pair them at dedup thresholds
+    j = {(r["left_id"], r["right_id"])
+         for r in dedup.winnow_pairs(d, threshold=0.5).collect()}
+    assert (1, 2) not in j
+    # capping: every fingerprint of doc 1 appears in >= 2 docs; a cap of 1
+    # removes all its buckets -> no pairs survive
+    capped = dedup.winnow_containment_pairs(
+        d, threshold=0.8, max_fp_df=1
+    ).count()
+    assert capped == 0
