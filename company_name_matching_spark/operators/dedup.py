@@ -272,6 +272,30 @@ def jaccard_pairs_prefix(
     return _ppjoin_exact_jaccard(d, threshold, "ppj")
 
 
+def _winnow_items(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    w: int,
+    block_col: str | None,
+) -> DataFrame:
+    """(id, items, n, bk) winnowing-fingerprint frame shared by the winnow
+    channels — one copy of the fp-table projection + no-block convention."""
+    from company_name_matching_spark.functions import textstats
+
+    fp = textstats.winnow_fingerprint_table(
+        docs, id_col, text_col, k, w,
+        extra_cols=(block_col,) if block_col else (),
+    )
+    return fp.select(
+        F.col(id_col).alias("id"),
+        F.col("fp").alias("items"),
+        F.size("fp").alias("n"),
+        (F.col(block_col) if block_col else F.lit("all")).alias("bk"),
+    )
+
+
 def winnow_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -294,15 +318,7 @@ def winnow_pairs(
     bounded by fingerprint-bucket populations, verify features by the
     candidate ids.
     """
-    fp = textstats.winnow_fingerprint_table(
-        docs, id_col, text_col, k, w,
-        extra_cols=(block_col,) if block_col else (),
-    )
-    d = fp.select(
-        F.col(id_col).alias("id"),
-        F.col("fp").alias("items"),
-        (F.col(block_col) if block_col else F.lit("all")).alias("bk"),
-    )
+    d = _winnow_items(docs, id_col, text_col, k, w, block_col).drop("n")
     return _ppjoin_exact_jaccard(d, threshold, "win")
 
 
@@ -617,46 +633,70 @@ def winnow_containment_pairs(
 
     Returns (left_id, right_id, containment, n_shared).
     """
-    from company_name_matching_spark.functions import textstats
     from company_name_matching_spark.sources.store import materialize
 
-    fp = textstats.winnow_fingerprint_table(
-        docs, id_col, text_col, k, w,
-        extra_cols=(block_col,) if block_col else (),
-    )
     d = materialize(
-        fp.select(
-            F.col(id_col).alias("id"),
-            F.col("fp").alias("items"),
-            F.size("fp").alias("n"),
-            (F.col(block_col) if block_col else F.lit("all")).alias("bk"),
-        ),
-        "winc_items",
+        _winnow_items(docs, id_col, text_col, k, w, block_col), "winc_items"
     )
     inv = d.select("id", "bk", F.explode("items").alias("f"))
-    if max_fp_df is not None:
-        sizes = inv.groupBy("bk", "f").agg(F.count(F.lit(1)).alias("_c"))
-        keep = sizes.where(F.col("_c") <= max_fp_df).select("bk", "f")
-        inv = inv.join(keep, ["bk", "f"])
-    cand = (
+    pair_rows = (
         inv.alias("l")
         .join(inv.alias("r"), ["bk", "f"])
         .where(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("left_id"), F.col("r.id").alias("right_id"))
-        .dropDuplicates(["left_id", "right_id"])
     )
-    paired = cand.join(
-        d.select(F.col("id").alias("left_id"), F.col("items").alias("l_it"),
-                 F.col("n").alias("l_n")),
-        "left_id",
-    ).join(
-        d.select(F.col("id").alias("right_id"), F.col("items").alias("r_it"),
-                 F.col("n").alias("r_n")),
-        "right_id",
-    )
-    inter = F.size(F.array_intersect("l_it", "r_it"))
+    if max_fp_df is None:
+        # the inverted join already yields one row per SHARED fingerprint,
+        # so |A∩B| is a count over it — no fingerprint arrays ever shuffle
+        # to the candidate pairs (r4 review)
+        shared = pair_rows.groupBy("left_id", "right_id").agg(
+            F.count(F.lit(1)).alias("_i")
+        )
+    else:
+        # capped index: counts over it undercount the true |A∩B|, so
+        # verify exactly against the FULL fingerprint sets for the pairs
+        # the capped candidates surface
+        sizes = inv.groupBy("bk", "f").agg(F.count(F.lit(1)).alias("_c"))
+        keep = sizes.where(F.col("_c") <= max_fp_df).select("bk", "f")
+        capped = (
+            inv.join(keep, ["bk", "f"])
+        )
+        cand = (
+            capped.alias("l")
+            .join(capped.alias("r"), ["bk", "f"])
+            .where(F.col("l.id") < F.col("r.id"))
+            .select(
+                F.col("l.id").alias("left_id"),
+                F.col("r.id").alias("right_id"),
+            )
+            .dropDuplicates(["left_id", "right_id"])
+        )
+        shared = (
+            cand.join(
+                d.select(F.col("id").alias("left_id"),
+                         F.col("items").alias("l_it")),
+                "left_id",
+            )
+            .join(
+                d.select(F.col("id").alias("right_id"),
+                         F.col("items").alias("r_it")),
+                "right_id",
+            )
+            .withColumn("_i", F.size(F.array_intersect("l_it", "r_it")))
+            .select("left_id", "right_id", "_i")
+        )
+    sizes_n = d.select("id", "n")
     return (
-        paired.withColumn("_i", inter)
+        shared.join(
+            sizes_n.select(F.col("id").alias("left_id"),
+                           F.col("n").alias("l_n")),
+            "left_id",
+        )
+        .join(
+            sizes_n.select(F.col("id").alias("right_id"),
+                           F.col("n").alias("r_n")),
+            "right_id",
+        )
         .withColumn(
             "containment",
             F.when(
