@@ -487,6 +487,18 @@ def docs_winnow_containment(spark, sf_dir):
     ).orderBy("left_id", "right_id")
 
 
+def docs_char_lm_quality(spark, sf_dir):
+    """CCNet-style LM quality signal (``textstats.char_lm_scores``): each
+    doc's average bits per char-bigram under the corpus's own add-α
+    bigram model. Model state is |charset|² (corpus-size-free); per-bigram
+    log-probs round to 6dp before the decimal-accumulated mean, so the
+    DuckDB twin reproduces every value exactly."""
+    from company_name_matching_spark.functions import textstats
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
+    return textstats.char_lm_scores(d).orderBy("doc_id")
+
+
 BM25_QUERY_TERMS = ["spark", "table", "join"]
 
 
@@ -1173,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_winnow_fingerprints": docs_winnow_fingerprints,
         "docs_winnow_neardup": docs_winnow_neardup,
         "docs_winnow_containment": docs_winnow_containment,
+        "docs_char_lm_quality": docs_char_lm_quality,
         "docs_minhash_neardup": docs_minhash_neardup,
         "docs_simhash_neardup": docs_simhash_neardup,
         "emb_neardup": emb_neardup,

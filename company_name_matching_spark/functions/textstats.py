@@ -170,3 +170,80 @@ def winnow_fingerprint_table(docs, id_col: str = "doc_id",
     return s2.select(
         id_col, *extra_cols, winnow_select_mins(F.col("_gh"), w).alias("fp")
     )
+
+
+def char_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text",
+                   alpha: float = 0.5):
+    """Character-bigram language-model quality score — the CCNet-style
+    filter signal (Wenzek et al., "CCNet", LREC'20 use perplexity under a
+    KenLM model; this is the self-contained distributed analog): train an
+    add-α-smoothed char-bigram model on the CORPUS itself, score each doc
+    by its average bits per bigram. Gibberish/boilerplate-noise docs score
+    high (surprising transitions); fluent text scores low. Relative
+    ranking is what the filter thresholds — no external model needed.
+
+    P(c₂|c₁) = (count(c₁c₂) + α) / (count(c₁·) + α·|charset|), over the
+    canonical (lowercased, whitespace-collapsed) text. Everything is
+    explode → groupBy → join (JVM-native); per-bigram log-probs are
+    rounded to 6dp BEFORE the decimal-accumulated per-doc mean, so the
+    result is bit-identical cross-engine (double sums are order-dependent;
+    decimal sums of rounded terms are not). Returns
+    (id_col, n_bigrams, bits_per_char).
+
+    Corpus-size safety: model state is |charset|² rows (bounded by the
+    alphabet, not the corpus); the per-doc join is bounded by document
+    length. Same staging rule as winnowing: the bigram array builds from a
+    STAGED canon column (HOF lambdas re-evaluate inline subexpressions per
+    element).
+    """
+    from company_name_matching_spark.sources.store import materialize
+
+    canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    s1 = materialize(
+        docs.select(F.col(id_col), canon.alias("_ct")), "charlm_canon"
+    )
+    ct = F.col("_ct")
+    n_bi = F.greatest(F.length(ct) - F.lit(1), F.lit(0))
+    bigrams = F.when(
+        n_bi > 0,
+        F.transform(F.sequence(F.lit(1), n_bi), lambda i: ct.substr(i, F.lit(2))),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = materialize(
+        s1.select(id_col, F.explode(bigrams).alias("bg")), "charlm_bigrams"
+    )
+    # corpus model: bigram counts, context (first-char) counts, charset size
+    bg_counts = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    bg_counts = bg_counts.withColumn("c1", F.substring("bg", 1, 1))
+    ctx_counts = bg_counts.groupBy("c1").agg(F.sum("c_bg").alias("c_ctx"))
+    n_chars = int(
+        bi.select(F.substring("bg", 1, 1).alias("ch"))
+        .union(bi.select(F.substring("bg", 2, 1).alias("ch")))
+        .distinct()
+        .count()
+    )
+    model = materialize(
+        bg_counts.join(ctx_counts, "c1").select(
+            "bg",
+            F.round(
+                -F.log2(
+                    (F.col("c_bg") + F.lit(alpha))
+                    / (F.col("c_ctx") + F.lit(alpha * n_chars))
+                ),
+                6,
+            ).alias("bits"),
+        ),
+        "charlm_model",
+    )
+    return (
+        bi.join(model, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("bits").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("bits_per_char"),
+        )
+    )

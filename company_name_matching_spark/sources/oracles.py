@@ -411,6 +411,40 @@ def build_oracles() -> dict[str, str]:
             WHERE mn > 0 AND CAST(i AS DOUBLE) / mn >= 0.6
             ORDER BY 1, 2
         """,
+        # char_lm_scores twin: add-α char-bigram model trained on the same
+        # filtered corpus; per-bigram bits rounded to 6dp before the
+        # decimal-accumulated mean (order-independent cross-engine)
+        "docs_char_lm_quality": """
+            WITH c AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ct
+                FROM documents WHERE doc_id <= 300
+            ), bi AS (
+                SELECT doc_id,
+                       unnest([substring(ct, i, 2)
+                               for i in range(1, greatest(length(ct) - 1, 0) + 1)]) AS bg
+                FROM c
+            ), bgc AS (
+                SELECT bg, COUNT(*) AS c_bg FROM bi GROUP BY bg
+            ), ctx AS (
+                SELECT substring(bg, 1, 1) AS c1, SUM(c_bg) AS c_ctx
+                FROM bgc GROUP BY 1
+            ), chars AS (
+                SELECT COUNT(DISTINCT ch) AS k FROM (
+                    SELECT substring(bg, 1, 1) AS ch FROM bi
+                    UNION SELECT substring(bg, 2, 1) FROM bi
+                )
+            ), model AS (
+                SELECT bg,
+                       ROUND(-log2((c_bg + 0.5) / (c_ctx + 0.5 * k)), 6) AS bits
+                FROM bgc JOIN ctx ON substring(bg, 1, 1) = c1, chars
+            )
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   ROUND(CAST(SUM(CAST(bits AS DECIMAL(30,6))) AS DOUBLE)
+                         / COUNT(*), 6) AS bits_per_char
+            FROM bi JOIN model USING (bg)
+            GROUP BY 1 ORDER BY 1
+        """,
         "docs_fingerprint_groups": f"""
             SELECT {_fingerprint('text')} AS fingerprint,
                    COUNT(*) AS group_size, MIN(doc_id) AS canonical_id

@@ -429,3 +429,48 @@ def test_winnow_fingerprints_match_reference_impl(spark):
     # guarantee: texts 0 and 1 share "fox jumps over" (>= 11 = w+k-1 chars)
     assert set(got[0]) & set(got[1])
     assert not set(got[0]) & set(got[2])
+
+
+def test_char_lm_scores_reference_and_signal(spark):
+    """textstats.char_lm_scores vs a direct python implementation of the
+    add-α bigram model (exact, incl. 6dp-round-before-mean), and the
+    filter signal itself: gibberish scores more bits per char than fluent
+    text under a model trained on a mostly-fluent corpus."""
+    import math
+    import re
+    from collections import Counter
+    from decimal import Decimal
+
+    from company_name_matching_spark.functions import textstats
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "she sells sea shells by the sea shore every day",
+        3: "the rain in spain stays mainly on the plain",
+        4: "xq zvkj qwpf zzx vbnm kqj xxqz wvz pqf",  # gibberish
+    }
+    d = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["bits_per_char"])
+           for r in textstats.char_lm_scores(d).collect()}
+
+    def canon(t):
+        return re.sub(r"\s+", " ", t.strip()).lower()
+
+    bis = {i: [canon(t)[j:j + 2] for j in range(len(canon(t)) - 1)]
+           for i, t in texts.items()}
+    bg = Counter(b for v in bis.values() for b in v)
+    ctx = Counter()
+    for b, c in bg.items():
+        ctx[b[0]] += c
+    k = len({ch for b in bg for ch in b})
+    bits = {b: round(-math.log2((c + 0.5) / (ctx[b[0]] + 0.5 * k)), 6)
+            for b, c in bg.items()}
+    for i, v in bis.items():
+        total = sum(Decimal(str(bits[b])) for b in v)
+        want = round(float(total) / len(v), 6)
+        assert got[i] == (len(v), want), i
+    fluent = [got[i][1] for i in (1, 2, 3)]
+    # gibberish ranks above every fluent doc (on a 4-doc corpus the
+    # separation is modest — the gibberish trains the model too; on a
+    # real corpus the margin grows with corpus/model sharpness)
+    assert got[4][1] > max(fluent) + 0.3
