@@ -451,8 +451,10 @@ def docs_winnow_fingerprints(spark, sf_dir):
     return fp.select(
         "doc_id",
         F.size("fp").alias("n_fp"),
-        F.element_at("fp", 1).alias("min_fp"),
-        F.element_at("fp", -1).alias("max_fp"),
+        # F.get: null-safe on a blank doc's EMPTY fingerprint set (ANSI
+        # element_at throws on empty arrays)
+        F.get("fp", 0).alias("min_fp"),
+        F.get("fp", F.size("fp") - 1).alias("max_fp"),
         F.aggregate(
             "fp", F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x)
         ).alias("fp_xor"),

@@ -104,12 +104,19 @@ def winnow_gram_hashes(canon: Column, k: int = 8) -> Column:
     every non-lambda subexpression per element (no CSE), so an inline
     regexp canonicalization would run once per gram."""
     n_grams = F.greatest(F.length(canon) - F.lit(k - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.conv(
-            F.substring(F.md5(canon.substr(i, F.lit(k))), 1, 15), 16, 10
-        ).cast("long"),
-    )
+    # empty canonical text ⇒ EMPTY hash set (the floor of one gram would
+    # hash the empty string, making all blank docs near-duplicates of each
+    # other); texts shorter than k still yield one truncated gram so short
+    # strings remain matchable
+    return F.when(
+        F.length(canon) > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.conv(
+                F.substring(F.md5(canon.substr(i, F.lit(k))), 1, 15), 16, 10
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
 
 
 def winnow_select_mins(hashes: Column, w: int = 4) -> Column:
@@ -121,7 +128,10 @@ def winnow_select_mins(hashes: Column, w: int = 4) -> Column:
         F.sequence(F.lit(1), n_windows),
         lambda i: F.array_min(F.slice(hashes, i, F.lit(w))),
     )
-    return F.sort_array(F.array_distinct(mins))
+    # empty hash set (blank doc) ⇒ empty selection, not [null]
+    return F.when(
+        F.size(hashes) > 0, F.sort_array(F.array_distinct(mins))
+    ).otherwise(F.array().cast("array<long>"))
 
 
 def winnow_fingerprint_table(docs, id_col: str = "doc_id",

@@ -327,15 +327,19 @@ def build_oracles() -> dict[str, str]:
                 FROM documents WHERE doc_id <= 300
             ), h AS (
                 SELECT doc_id,
-                       [('0x' || substring(md5(substring(ct, i, 8)), 1, 15))::BIGINT
-                        for i in range(1, greatest(length(ct) - 7, 1) + 1)] AS hs
+                       CASE WHEN length(ct) = 0 THEN CAST([] AS BIGINT[])
+                            ELSE [('0x' || substring(md5(substring(ct, i, 8)), 1, 15))::BIGINT
+                                  for i in range(1, greatest(length(ct) - 7, 1) + 1)]
+                       END AS hs
                 FROM c
             ), fp AS (
                 SELECT doc_id,
-                       list_sort(list_distinct(
-                           [list_min(hs[i : i + 3])
-                            for i in range(1, greatest(len(hs) - 3, 1) + 1)]
-                       )) AS fp
+                       CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                            ELSE list_sort(list_distinct(
+                                [list_min(hs[i : i + 3])
+                                 for i in range(1, greatest(len(hs) - 3, 1) + 1)]
+                            ))
+                       END AS fp
                 FROM h
             )
             SELECT doc_id,
@@ -355,15 +359,19 @@ def build_oracles() -> dict[str, str]:
                 FROM documents
             ), h AS (
                 SELECT doc_id, lang,
-                       [('0x' || substring(md5(substring(ct, i, 8)), 1, 15))::BIGINT
-                        for i in range(1, greatest(length(ct) - 7, 1) + 1)] AS hs
+                       CASE WHEN length(ct) = 0 THEN CAST([] AS BIGINT[])
+                            ELSE [('0x' || substring(md5(substring(ct, i, 8)), 1, 15))::BIGINT
+                                  for i in range(1, greatest(length(ct) - 7, 1) + 1)]
+                       END AS hs
                 FROM c
             ), fp AS (
                 SELECT doc_id, lang,
-                       list_distinct(
-                           [list_min(hs[i : i + 3])
-                            for i in range(1, greatest(len(hs) - 3, 1) + 1)]
-                       ) AS fp
+                       CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                            ELSE list_distinct(
+                                [list_min(hs[i : i + 3])
+                                 for i in range(1, greatest(len(hs) - 3, 1) + 1)]
+                            )
+                       END AS fp
                 FROM h
             ), sized AS (SELECT doc_id, lang, fp, len(fp) AS n FROM fp)
             SELECT l.doc_id AS left_id, r.doc_id AS right_id,
@@ -386,15 +394,19 @@ def build_oracles() -> dict[str, str]:
                 FROM documents
             ), h AS (
                 SELECT doc_id, lang,
-                       [('0x' || substring(md5(substring(ct, i, 8)), 1, 15))::BIGINT
-                        for i in range(1, greatest(length(ct) - 7, 1) + 1)] AS hs
+                       CASE WHEN length(ct) = 0 THEN CAST([] AS BIGINT[])
+                            ELSE [('0x' || substring(md5(substring(ct, i, 8)), 1, 15))::BIGINT
+                                  for i in range(1, greatest(length(ct) - 7, 1) + 1)]
+                       END AS hs
                 FROM c
             ), fp AS (
                 SELECT doc_id, lang,
-                       list_distinct(
-                           [list_min(hs[i : i + 3])
-                            for i in range(1, greatest(len(hs) - 3, 1) + 1)]
-                       ) AS fp
+                       CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                            ELSE list_distinct(
+                                [list_min(hs[i : i + 3])
+                                 for i in range(1, greatest(len(hs) - 3, 1) + 1)]
+                            )
+                       END AS fp
                 FROM h
             ), sized AS (SELECT doc_id, lang, fp, len(fp) AS n FROM fp),
             paired AS (

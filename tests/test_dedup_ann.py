@@ -366,3 +366,27 @@ def test_winnow_containment_detects_embedded_passage(spark):
         d, threshold=0.8, max_fp_df=1
     ).count()
     assert capped == 0
+
+
+def test_new_channels_degenerate_inputs(spark):
+    """Empty / single-doc / empty-text corpora must produce empty results
+    with stable schemas, not crashes — the shapes every 100-TB partition
+    eventually feeds these operators."""
+    from company_name_matching_spark.functions import textstats
+    from company_name_matching_spark.operators import dedup
+
+    empty = spark.createDataFrame([], "doc_id int, text string")
+    single = spark.createDataFrame([(1, "only one document here")],
+                                   "doc_id int, text string")
+    blank = spark.createDataFrame([(1, ""), (2, "  "), (3, "ok text here")],
+                                  "doc_id int, text string")
+    for d in (empty, single, blank):
+        assert dedup.winnow_pairs(d, threshold=0.5).count() == 0
+        assert dedup.winnow_containment_pairs(d, threshold=0.5).count() == 0
+    cols_fp = textstats.winnow_fingerprint_table(empty).columns
+    assert cols_fp == ["doc_id", "fp"]
+    lm_empty = textstats.char_lm_scores(empty)
+    assert lm_empty.count() == 0
+    assert lm_empty.columns == ["doc_id", "n_bigrams", "bits_per_char"]
+    lm_blank = {r["doc_id"] for r in textstats.char_lm_scores(blank).collect()}
+    assert lm_blank == {3}  # zero-bigram docs drop; real doc scored
