@@ -97,6 +97,17 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
 
 
+def canon_text(text: Column) -> Column:
+    """Shared canonicalization for the winnow + char-LM channels:
+    lowercase, collapse whitespace runs, strip ALL leading/trailing
+    whitespace (collapse-then-trim == python str.strip + re.sub — F.trim
+    alone leaves tab/newline padding). ONE definition keeps the Spark
+    channels and their DuckDB twins
+    (``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))``) in
+    lockstep."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
 def winnow_gram_hashes(canon: Column, k: int = 8) -> Column:
     """60-bit rolling k-gram hashes of an ALREADY-STAGED canonical text
     column (md5 top-15-hex — DuckDB-reproducible). ``canon`` must be a
@@ -159,9 +170,7 @@ def winnow_fingerprint_table(docs, id_col: str = "doc_id",
     """
     from company_name_matching_spark.sources.store import materialize
 
-    # collapse-then-trim strips ALL whitespace padding (F.trim alone
-    # leaves \t/\n, diverging from python str.strip() — r4 review)
-    canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    canon = canon_text(F.col(text_col))
     # small parquet inputs arrive as one split; spread the CPU-bound
     # gram-hash stage across the cluster first (same move as minhash_pairs)
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
@@ -208,7 +217,7 @@ def char_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text",
     """
     from company_name_matching_spark.sources.store import materialize
 
-    canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    canon = canon_text(F.col(text_col))
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     s1 = materialize(
         docs.select(F.col(id_col), canon.alias("_ct")), "charlm_canon"
@@ -226,9 +235,12 @@ def char_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text",
     bg_counts = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
     bg_counts = bg_counts.withColumn("c1", F.substring("bg", 1, 1))
     ctx_counts = bg_counts.groupBy("c1").agg(F.sum("c_bg").alias("c_ctx"))
+    # alphabet size from the DISTINCT-bigram table (≤|charset|² rows), not
+    # the bigram instances — the instance-level distinct would shuffle the
+    # whole corpus to count a set bounded by the alphabet (r4 review)
     n_chars = int(
-        bi.select(F.substring("bg", 1, 1).alias("ch"))
-        .union(bi.select(F.substring("bg", 2, 1).alias("ch")))
+        bg_counts.select(F.substring("bg", 1, 1).alias("ch"))
+        .union(bg_counts.select(F.substring("bg", 2, 1).alias("ch")))
         .distinct()
         .count()
     )

@@ -346,7 +346,9 @@ def build_oracles() -> dict[str, str]:
                    CAST(len(fp) AS INT) AS n_fp,
                    fp[1] AS min_fp,
                    fp[-1] AS max_fp,
-                   list_reduce(fp, (a, b) -> CAST(xor(a, b) AS BIGINT)) AS fp_xor
+                   CASE WHEN len(fp) = 0 THEN 0
+                        ELSE list_reduce(fp, (a, b) -> CAST(xor(a, b) AS BIGINT))
+                   END AS fp_xor
             FROM fp ORDER BY doc_id
         """,
         # winnow_pairs twin: full quadratic exact-Jaccard join over the

@@ -390,3 +390,41 @@ def test_new_channels_degenerate_inputs(spark):
     assert lm_empty.columns == ["doc_id", "n_bigrams", "bits_per_char"]
     lm_blank = {r["doc_id"] for r in textstats.char_lm_scores(blank).collect()}
     assert lm_blank == {3}  # zero-bigram docs drop; real doc scored
+
+
+def test_winnow_fingerprint_twins_agree_on_blank_docs(spark, tmp_path):
+    """Spark entry vs DuckDB twin on a corpus CONTAINING blank docs — the
+    degenerate shape the blank-doc hardening must keep cross-engine exact
+    (the oracle's xor fold previously threw on empty fingerprint lists)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    rows = [(1, "real text body with content"), (2, ""), (3, "   "),
+            (4, "another real document body")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    # fake sf dir with just the documents table
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    sdf = (
+        entrymod.queries()["docs_winnow_fingerprints"](spark, str(tmp_path))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    odf = (
+        con.execute(entrymod.oracle_sql()["docs_winnow_fingerprints"])
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert sdf.astype(str).equals(odf.astype(str)), (sdf, odf)
+    blank = sdf[sdf.doc_id.isin([2, 3])]
+    assert (blank.n_fp == 0).all() and (blank.fp_xor == 0).all()
