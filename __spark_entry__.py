@@ -999,6 +999,9 @@ def er_cluster_fuzzy_parts(spark, sf_dir):
     )
 
     p = _t(spark, sf_dir, "part")
+    # small parquet arrives as one split; spread the normalize UDF and the
+    # downstream prefix-join stages across the cluster
+    p = p.repartition(spark.sparkContext.defaultParallelism)
     names = normalize.normalize_mentions(
         p.select(
             F.col("p_partkey").cast("string").alias("pid"),

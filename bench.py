@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "tfidf_rerank_parts",
     "dup_group_names",
+    # round-4 operators
+    "docs_winnow_neardup",
+    "docs_char_lm_quality",
+    "er_cluster_fuzzy_parts",
 ]
 
 

@@ -208,7 +208,13 @@ def score_pairs(
        apply.
     """
     cfg = cfg or ScoringConfig()
-    if idf is None:
+    # config-aware kernel selection: with BOTH vector channels zero-weighted
+    # (the SQL-expressible jaccard+lev configuration, e.g. the oracle-backed
+    # fuzzy-ER entry) the TF-IDF vectors and the Arrow cos/JW kernel cannot
+    # affect the score — skip the IDF build, the featurize UDF, and the pair
+    # UDF entirely (sf0.1 fuzzy-ER entry: 40.2 → see BENCH.md)
+    need_vectors = cfg.w_cosine != 0.0 or cfg.w_jw != 0.0
+    if idf is None and need_vectors:
         idf = build_idf(names, n=cfg.ngram)
     light = names.withColumn("key_id", F.xxhash64("match_key")).select(
         *_LIGHT_COLS
@@ -264,19 +270,27 @@ def score_pairs(
         .withColumn("key_id", F.xxhash64("match_key"))
         .join(fuzzy_key_ids, "key_id", "left_semi")
     )
-    kf = materialize(
-        featurize(keys, idf, cfg).select(
-            "key_id", *[c for c in _HEAVY_COLS if c != "record_id"]
-        ),
-        "key_features",
-    )
+    if need_vectors:
+        kf = materialize(
+            featurize(keys, idf, cfg).select(
+                "key_id", *[c for c in _HEAVY_COLS if c != "record_id"]
+            ),
+            "key_features",
+        )
+    else:
+        # light per-key features: jaccard/lev need only the key string and
+        # its token set — no Arrow boundary, no vector columns
+        kf = materialize(
+            keys.select("key_id", "match_key", "tokens"), "key_features_light"
+        )
+    _kf_cols = [c for c in kf.columns if c != "key_id"]
     l_kf = kf.select(
         F.col("key_id").alias("l_key_id"),
-        *[F.col(c).alias(f"lh_{c}") for c in _HEAVY_COLS if c != "record_id"],
+        *[F.col(c).alias(f"lh_{c}") for c in _kf_cols],
     )
     r_kf = kf.select(
         F.col("key_id").alias("r_key_id"),
-        *[F.col(c).alias(f"rh_{c}") for c in _HEAVY_COLS if c != "record_id"],
+        *[F.col(c).alias(f"rh_{c}") for c in _kf_cols],
     )
     k = ukp.join(l_kf, "l_key_id").join(r_kf, "r_key_id")
 
@@ -295,12 +309,18 @@ def score_pairs(
             - F.levenshtein("lh_match_key", "rh_match_key").cast("double") / max_len,
         ).otherwise(0.0),
     )
-    k = k.withColumn("_sims", _pair_sims_udf(
-        "lh_match_key", "rh_match_key",
-        "lh_tg_idx", "lh_tg_val", "rh_tg_idx", "rh_tg_val"
-    )).select("l_key_id", "r_key_id", "jaccard", "lev_sim",
-              F.col("_sims.cos_sim").alias("cos_sim"),
-              F.col("_sims.jw_sim").alias("jw_sim"))
+    if need_vectors:
+        k = k.withColumn("_sims", _pair_sims_udf(
+            "lh_match_key", "rh_match_key",
+            "lh_tg_idx", "lh_tg_val", "rh_tg_idx", "rh_tg_val"
+        )).select("l_key_id", "r_key_id", "jaccard", "lev_sim",
+                  F.col("_sims.cos_sim").alias("cos_sim"),
+                  F.col("_sims.jw_sim").alias("jw_sim"))
+    else:
+        k = k.select(
+            "l_key_id", "r_key_id", "jaccard", "lev_sim",
+            F.lit(0.0).alias("cos_sim"), F.lit(0.0).alias("jw_sim"),
+        )
 
     df = fuzzy.join(k, ["l_key_id", "r_key_id"])
 
