@@ -207,7 +207,8 @@ def char_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text",
     rounded to 6dp BEFORE the decimal-accumulated per-doc mean, so the
     result is bit-identical cross-engine (double sums are order-dependent;
     decimal sums of rounded terms are not). Returns
-    (id_col, n_bigrams, bits_per_char).
+    (id_col, n_bigrams, bits_per_bigram) — the mean is per BIGRAM
+    (decimal sum / n_bigrams), named accordingly (ADVICE r5).
 
     Corpus-size safety: model state is |charset|² rows (bounded by the
     alphabet, not the corpus); the per-doc join is bounded by document
@@ -228,11 +229,19 @@ def char_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text",
         n_bi > 0,
         F.transform(F.sequence(F.lit(1), n_bi), lambda i: ct.substr(i, F.lit(2))),
     ).otherwise(F.array().cast("array<string>"))
+    # Pre-aggregate the exploded instances to (id, bg, cnt) BEFORE the
+    # parquet barrier: the instance table is one row per CHARACTER of the
+    # corpus (a 2-3x scratch write amplification at web scale); the per-doc
+    # distinct-bigram table is bounded by min(doc_len, |charset|^2) per doc.
+    # Map-side partial aggregation absorbs the duplicates before the shuffle.
     bi = materialize(
-        s1.select(id_col, F.explode(bigrams).alias("bg")), "charlm_bigrams"
+        s1.select(id_col, F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("cnt")),
+        "charlm_bigrams",
     )
     # corpus model: bigram counts, context (first-char) counts, charset size
-    bg_counts = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    bg_counts = bi.groupBy("bg").agg(F.sum("cnt").alias("c_bg"))
     bg_counts = bg_counts.withColumn("c1", F.substring("bg", 1, 1))
     ctx_counts = bg_counts.groupBy("c1").agg(F.sum("c_bg").alias("c_ctx"))
     # alphabet size from the DISTINCT-bigram table (≤|charset|² rows), not
@@ -257,15 +266,21 @@ def char_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text",
         ),
         "charlm_model",
     )
+    # Join the model on the per-doc DISTINCT-bigram table and weight by
+    # cnt. Decimal(30,6) * integer count is exact, so sum(cnt * bits)
+    # equals the old per-instance decimal sum bit-for-bit; the final
+    # double division therefore reproduces the pre-r5 values exactly.
     return (
         bi.join(model, "bg")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("cnt").alias("n_bigrams"),
             F.round(
-                F.sum(F.col("bits").cast("decimal(30,6)")).cast("double")
-                / F.count(F.lit(1)),
+                F.sum(
+                    F.col("bits").cast("decimal(30,6)") * F.col("cnt")
+                ).cast("double")
+                / F.sum("cnt"),
                 6,
-            ).alias("bits_per_char"),
+            ).alias("bits_per_bigram"),
         )
     )

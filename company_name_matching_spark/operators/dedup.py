@@ -1,6 +1,6 @@
 """Deduplication operators for web-scale corpora.
 
-Five channels, each a distinct scale/recall trade-off:
+Seven channels, each a distinct scale/recall trade-off:
 
 * exact             — md5 fingerprint hash-groupBy (one shuffle);
 * keep-longest      — window dedup within fingerprint groups;

@@ -43,8 +43,16 @@ def _letters(col):
 
 
 def _tokset(col):
-    """Distinct lowercase whitespace tokens (reference token_overlap)."""
-    return F.array_distinct(F.split(F.trim(F.lower(col)), r"\s+"))
+    """Distinct lowercase whitespace tokens (reference token_overlap).
+
+    Empty tokens are removed: ``F.split`` on a blank/whitespace-only string
+    yields ``[""]`` where the reference's Python ``str.split()`` yields
+    ``[]`` — without the filter a blank query and blank target would share
+    the spurious ``""`` token and suppress ``no_token_overlap``
+    (ADVICE r5)."""
+    return F.array_remove(
+        F.array_distinct(F.split(F.trim(F.lower(col)), r"\s+")), ""
+    )
 
 
 def failure_records(

@@ -130,6 +130,20 @@ class ParquetCatalog:
             # null-fill / column loss instead of an error (r4 review).
             # Field order is writer-irrelevant; names+types must match.
             cur_schema = cur.get("schema_json")
+            if not cur_schema:
+                # legacy (pre-schema_json) snapshot: infer the TABLE's
+                # schema from an existing root so the same names+types
+                # gate still applies — otherwise the first append to a
+                # legacy table would commit the APPENDER's schema as
+                # authoritative and read() would pin it, turning drift
+                # into silent null-fill instead of a loud error
+                # (ADVICE r5). The inferred table schema, not the
+                # appender's, is what gets committed.
+                legacy_root = str(self.root / name / cur["dirs"][0])
+                cur_schema = (
+                    df.sparkSession.read.parquet(legacy_root).schema.json()
+                )
+                schema_json_out = cur_schema
             if cur_schema:
                 want = {
                     (f["name"], json.dumps(_strip_nullability(f["type"]),

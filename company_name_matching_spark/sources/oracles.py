@@ -455,7 +455,7 @@ def build_oracles() -> dict[str, str]:
             )
             SELECT doc_id, COUNT(*) AS n_bigrams,
                    ROUND(CAST(SUM(CAST(bits AS DECIMAL(30,6))) AS DOUBLE)
-                         / COUNT(*), 6) AS bits_per_char
+                         / COUNT(*), 6) AS bits_per_bigram
             FROM bi JOIN model USING (bg)
             GROUP BY 1 ORDER BY 1
         """,
@@ -644,8 +644,12 @@ def build_oracles() -> dict[str, str]:
                        regexp_split_to_array(trim(target), '\\s+') AS tw,
                        lower(translate(trim(q0), '{ACCENT_SRC}', '{ACCENT_DST}')) AS qfold,
                        lower(translate(trim(target), '{ACCENT_SRC}', '{ACCENT_DST}')) AS tfold,
-                       list_distinct(regexp_split_to_array(trim(lower(q0)), '\\s+')) AS qs,
-                       list_distinct(regexp_split_to_array(trim(lower(target)), '\\s+')) AS ts
+                       list_filter(list_distinct(
+                           regexp_split_to_array(trim(lower(q0)), '\\s+')),
+                           x -> x != '') AS qs,
+                       list_filter(list_distinct(
+                           regexp_split_to_array(trim(lower(target)), '\\s+')),
+                           x -> x != '') AS ts
                 FROM base
             ),
             pred AS (
@@ -654,8 +658,11 @@ def build_oracles() -> dict[str, str]:
                        list_sort(list_distinct(regexp_split_to_array(qfold, '\\s+')))
                          = list_sort(list_distinct(regexp_split_to_array(tfold, '\\s+')))
                          AS same_set,
-                       CAST(len(qs) + len(ts) - len(list_distinct(qs || ts)) AS DOUBLE)
-                         / len(list_distinct(qs || ts)) AS overlap
+                       CASE WHEN len(list_distinct(qs || ts)) > 0
+                            THEN CAST(len(qs) + len(ts)
+                                      - len(list_distinct(qs || ts)) AS DOUBLE)
+                                 / len(list_distinct(qs || ts))
+                            ELSE 0.0 END AS overlap
                 FROM feat
             ),
             tags AS (

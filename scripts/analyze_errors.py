@@ -90,6 +90,9 @@ def analyze(spark, corpus_limit=1000, max_queries=1000, min_score=0.0, k=5):
         .collect()
     )
     dist = erroranalysis.tag_distribution(tagged).collect()
+    # Single aggregation job; avg/percentile over an empty frame return
+    # nulls, checked on the one collected row (no separate count() guard —
+    # that doubled the scan on large failure sets).
     score_stats = (
         fails.where(~F.col("suppressed"))
         .agg(
@@ -97,9 +100,9 @@ def analyze(spark, corpus_limit=1000, max_queries=1000, min_score=0.0, k=5):
             F.round(F.expr("percentile(top1_score, 0.5)"), 4).alias("p50"),
         )
         .collect()[0]
-        if fails.where(~F.col("suppressed")).count()
-        else None
     )
+    if score_stats["avg"] is None:
+        score_stats = None
     examples = [
         r.asDict()
         for r in fails.select(

@@ -387,7 +387,7 @@ def test_new_channels_degenerate_inputs(spark):
     assert cols_fp == ["doc_id", "fp"]
     lm_empty = textstats.char_lm_scores(empty)
     assert lm_empty.count() == 0
-    assert lm_empty.columns == ["doc_id", "n_bigrams", "bits_per_char"]
+    assert lm_empty.columns == ["doc_id", "n_bigrams", "bits_per_bigram"]
     lm_blank = {r["doc_id"] for r in textstats.char_lm_scores(blank).collect()}
     assert lm_blank == {3}  # zero-bigram docs drop; real doc scored
 

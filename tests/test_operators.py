@@ -450,7 +450,7 @@ def test_char_lm_scores_reference_and_signal(spark):
         4: "xq zvkj qwpf zzx vbnm kqj xxqz wvz pqf",  # gibberish
     }
     d = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
-    got = {r["doc_id"]: (r["n_bigrams"], r["bits_per_char"])
+    got = {r["doc_id"]: (r["n_bigrams"], r["bits_per_bigram"])
            for r in textstats.char_lm_scores(d).collect()}
 
     def canon(t):

@@ -421,6 +421,37 @@ def test_catalog_append_schema_mismatch_raises(spark, tmp_path):
     assert got.count() == 2 and set(got.columns) == {"id", "v", "part"}
 
 
+def test_catalog_legacy_append_checks_inferred_schema(spark, tmp_path):
+    """First append to a pre-schema_json (legacy) snapshot must infer the
+    existing roots' schema and run the SAME names+types gate — otherwise a
+    drifting legacy append commits the appender's schema as authoritative
+    and read() pins it, silently null-filling the old roots (ADVICE r5)."""
+    import json
+
+    from company_name_matching_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(str(tmp_path / "catleg"))
+    cat.write("t", spark.createDataFrame([(1, "a")], "id long, v string"))
+    # simulate a pre-r4 manifest: drop the persisted schema
+    meta_path = tmp_path / "catleg" / "t" / "_meta.json"
+    meta = json.loads(meta_path.read_text())
+    for s in meta["snapshots"]:
+        s.pop("schema_json", None)
+    meta_path.write_text(json.dumps(meta))
+    # drifting append (changed type) must fail loudly, not null-fill
+    with pytest.raises(ValueError, match="append schema"):
+        cat.write("t", spark.createDataFrame([("2", "b")],
+                                             "id string, v string"),
+                  mode="append")
+    # equivalent append passes, and the committed schema is the TABLE's
+    cat.write("t", spark.createDataFrame([(2, "b")], "id long, v string"),
+              mode="append")
+    got = cat.read(spark, "t")
+    assert got.count() == 2
+    assert [f.dataType.simpleString() for f in got.schema.fields
+            if f.name == "id"] == ["bigint"]
+
+
 def test_hybrid_dense_dim_mismatch_raises(spark):
     """An encoder whose output width differs from dense_dim would null-pad
     against the hyperplanes and silently collapse every record into one
