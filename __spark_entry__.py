@@ -466,13 +466,15 @@ def docs_winnow_neardup(spark, sf_dir):
     (``dedup.winnow_pairs``): exact Jaccard ≥ 0.5 over the Schleimer'03
     selection, lang-blocked, through the lossless prefix-filter join —
     output provably equals the quadratic join over fingerprint sets, which
-    is exactly what the DuckDB oracle computes."""
+    is exactly what the DuckDB oracle computes. hash="md5" pins the
+    DuckDB-reproducible gram hash (the production default is the faster
+    xxhash64 path — VERDICT r5 #2)."""
     from company_name_matching_spark.operators import dedup
 
     d = _t(spark, sf_dir, "documents")
-    return dedup.winnow_pairs(d, block_col="lang", threshold=0.5).orderBy(
-        "left_id", "right_id"
-    )
+    return dedup.winnow_pairs(
+        d, block_col="lang", threshold=0.5, hash="md5"
+    ).orderBy("left_id", "right_id")
 
 
 def docs_winnow_containment(spark, sf_dir):
@@ -485,7 +487,7 @@ def docs_winnow_containment(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return dedup.winnow_containment_pairs(
-        d, block_col="lang", threshold=0.6
+        d, block_col="lang", threshold=0.6, hash="md5"
     ).orderBy("left_id", "right_id")
 
 

@@ -108,12 +108,33 @@ def canon_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
-def winnow_gram_hashes(canon: Column, k: int = 8) -> Column:
-    """60-bit rolling k-gram hashes of an ALREADY-STAGED canonical text
-    column (md5 top-15-hex — DuckDB-reproducible). ``canon`` must be a
-    bound column, not an inline expression: higher-order lambdas re-evaluate
-    every non-lambda subexpression per element (no CSE), so an inline
-    regexp canonicalization would run once per gram."""
+def winnow_gram_hashes(canon: Column, k: int = 8,
+                       hash: str = "md5") -> Column:
+    """Rolling k-gram hashes of an ALREADY-STAGED canonical text column.
+
+    Two hash paths (the fingerprint SEMANTICS only need a deterministic
+    hash; the choice is an oracle-vs-throughput trade, VERDICT r5 #2):
+
+    * ``"md5"`` — 60-bit md5 top-15-hex, DuckDB-reproducible (the oracle
+      entries replay it in SQL); a heavy per-position constant.
+    * ``"xxhash64"`` — Spark's JVM codegen'd 64-bit xxhash64, the
+      production default for the non-oracle near-dup channels (~one
+      8-byte hash per position instead of md5+hex+conv).
+
+    ``canon`` must be a bound column, not an inline expression:
+    higher-order lambdas re-evaluate every non-lambda subexpression per
+    element (no CSE), so an inline regexp canonicalization would run once
+    per gram."""
+    if hash not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown winnow gram hash {hash!r}")
+    if hash == "xxhash64":
+        def gram_hash(i):
+            return F.xxhash64(canon.substr(i, F.lit(k)))
+    else:
+        def gram_hash(i):
+            return F.conv(
+                F.substring(F.md5(canon.substr(i, F.lit(k))), 1, 15), 16, 10
+            ).cast("long")
     n_grams = F.greatest(F.length(canon) - F.lit(k - 1), F.lit(1))
     # empty canonical text ⇒ EMPTY hash set (the floor of one gram would
     # hash the empty string, making all blank docs near-duplicates of each
@@ -121,12 +142,7 @@ def winnow_gram_hashes(canon: Column, k: int = 8) -> Column:
     # strings remain matchable
     return F.when(
         F.length(canon) > 0,
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.conv(
-                F.substring(F.md5(canon.substr(i, F.lit(k))), 1, 15), 16, 10
-            ).cast("long"),
-        ),
+        F.transform(F.sequence(F.lit(1), n_grams), gram_hash),
     ).otherwise(F.array().cast("array<long>"))
 
 
@@ -148,7 +164,8 @@ def winnow_select_mins(hashes: Column, w: int = 4) -> Column:
 def winnow_fingerprint_table(docs, id_col: str = "doc_id",
                              text_col: str = "text",
                              k: int = 8, w: int = 4,
-                             extra_cols: tuple = ()):
+                             extra_cols: tuple = (),
+                             hash: str = "md5"):
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
     SIGMOD'03) — the rolling-hash near-dup fingerprint a plagiarism/
     boilerplate detector selects: hash every character ``k``-gram of the
@@ -182,7 +199,7 @@ def winnow_fingerprint_table(docs, id_col: str = "doc_id",
     s2 = materialize(
         s1.select(
             id_col, *extra_cols,
-            winnow_gram_hashes(F.col("_ct"), k).alias("_gh"),
+            winnow_gram_hashes(F.col("_ct"), k, hash).alias("_gh"),
         ),
         "winnow_hashes",
     )
