@@ -169,6 +169,7 @@ def bm25_pair_scores(
     b: float = B,
     epsilon: float = EPSILON,
     stats: BmCorpusStats | None = None,
+    max_term_df: int | None = None,
 ) -> DataFrame:
     """BM25 of (query, doc) for an explicit candidate-pair list — the
     retrieval channel of the reference's tfidf+BM25 hybrid
@@ -188,6 +189,18 @@ def bm25_pair_scores(
     Σ_{t∈q} df(t) posting rows (a skewed equi-join AQE can split), NOT
     corpus × queries; used by :func:`bm25_query_max` for corpus-wide
     max normalization.
+
+    ``max_term_df`` (pairs=None path only) bounds that scan for
+    pathological high-df query terms (corpus-wide legal forms, template
+    chrome): terms with df > cap are EXCLUDED from the posting expansion,
+    capping the per-query row cost at |q|·max_term_df. Documented trade
+    (same pattern as the containment channel's fp-df cap): returned
+    scores become lower bounds missing the capped terms' contributions —
+    each ≤ qtf·idf(t)·(k1+1) per doc, and high-df terms carry the
+    SMALLEST idf (floored at ε·avg_idf once df > N/2), so rankings and
+    maxima move least where the cap bites most. Default None = exact
+    reference parity; the explicit-pairs path is already candidate-
+    bounded and never capped.
     """
     if stats is not None and (
         stats.id_col != id_col
@@ -230,6 +243,17 @@ def bm25_pair_scores(
             )
         )
     else:
+        if max_term_df is not None:
+            # drop pathological high-df terms BEFORE the expansion: one
+            # cheap agg over the corpus-bounded postings table, then a
+            # semi-join that shrinks q_terms — never the posting scan
+            ok_terms = (
+                postings.groupBy("term")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .where(F.col("_df") <= max_term_df)
+                .select("term")
+            )
+            q_terms = q_terms.join(ok_terms, "term", "left_semi")
         # all matching docs per query: postings equi-join on term alone
         matched = q_terms.join(
             postings.withColumnRenamed("doc", "right_id"), "term"
@@ -266,6 +290,7 @@ def bm25_query_max(
     b: float = B,
     epsilon: float = EPSILON,
     stats: BmCorpusStats | None = None,
+    max_term_df: int | None = None,
 ) -> DataFrame:
     """Per-query CORPUS-WIDE BM25 maximum — the reference's normalizer
     (``matching/matcher.py:371-373``: ``bm25_scores_raw.max()`` over
@@ -277,9 +302,13 @@ def bm25_query_max(
     Cost: Σ_{t∈q} df(t) posting rows per query (hot legal-form terms are a
     skewed but AQE-splittable equi-join), corpus-size-bounded per query —
     the price of the reference's own normalization semantics.
+    ``max_term_df`` caps that cost at web scale by excluding df > cap
+    terms from the expansion (see :func:`bm25_pair_scores` for the
+    documented lower-bound trade); default None = exact parity.
     """
     all_scores = bm25_pair_scores(
-        corpus, queries, None, id_col, tokens_col, k1, b, epsilon, stats
+        corpus, queries, None, id_col, tokens_col, k1, b, epsilon, stats,
+        max_term_df=max_term_df,
     )
     return all_scores.groupBy("left_id").agg(
         F.max("bm25").alias("bm25_max")

@@ -17,6 +17,7 @@ All pairwise channels block first — never an unblocked cross join.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -692,8 +693,11 @@ def winnow_containment_pairs(
     k: int = 8,
     w: int = 4,
     threshold: float = 0.8,
-    max_fp_df: int | None = None,
+    max_fp_df: int | str | None = None,
     hash: str = "xxhash64",
+    adaptive_quantile: float = 0.999,
+    adaptive_margin: float = 4.0,
+    adaptive_floor: int = 64,
 ) -> DataFrame:
     """Asymmetric boilerplate/passage detection: fingerprint CONTAINMENT
     |A∩B| / min(|A|,|B|) ≥ threshold over winnowing fingerprint sets —
@@ -713,6 +717,23 @@ def winnow_containment_pairs(
     is template chrome, exactly what you want excluded. ``None`` (default)
     keeps the join exact, which is what the DuckDB oracle replays.
 
+    ``max_fp_df="adaptive"`` (VERDICT r5 #5) derives the cap from the
+    observed fingerprint-df distribution — the containment analog of
+    ``BlockingConfig.adaptive_cap``:
+
+        cap = max(adaptive_floor,
+                  ceil(approx_percentile(df, adaptive_quantile)
+                       · adaptive_margin))
+
+    A static integer cap is tuning folklore at 100× scale (organic df
+    grows past any fixed number → silent recall collapse); the quantile
+    anchor drops only fingerprints ``margin``× beyond the bulk — true
+    template chrome — so the recall loss is bounded by construction at
+    any corpus size. Costs one bounded aggregation over the inverted
+    index. **At web scale this is the recommended default**; the exact
+    ``None`` default exists so the DuckDB oracle entry replays the join
+    exactly.
+
     Returns (left_id, right_id, containment, n_shared).
     """
     from company_name_matching_spark.sources.store import materialize
@@ -722,6 +743,25 @@ def winnow_containment_pairs(
         "winc_items",
     )
     inv = d.select("id", "bk", F.explode("items").alias("f"))
+    if max_fp_df == "adaptive":
+        # bounded driver scalar: one approximate quantile over per-
+        # fingerprint document frequencies (the same move as blocking's
+        # adaptive_cap — sizes are corpus-bounded, the scalar is O(1))
+        q = (
+            inv.groupBy("bk", "f")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(F.expr(
+                f"approx_percentile(_c, {adaptive_quantile})"
+            ).alias("q"))
+            .collect()[0]["q"]
+        )
+        max_fp_df = max(
+            int(math.ceil((q or 1) * adaptive_margin)), adaptive_floor
+        )
+    elif isinstance(max_fp_df, str):
+        raise ValueError(
+            f"max_fp_df must be an int, None, or 'adaptive'; got {max_fp_df!r}"
+        )
     pair_rows = (
         inv.alias("l")
         .join(inv.alias("r"), ["bk", "f"])

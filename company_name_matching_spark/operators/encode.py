@@ -114,6 +114,41 @@ def dense_pair_scores(
     )
 
 
+def sentence_transformer_factory(
+    model_name: str = "sentence-transformers/paraphrase-multilingual-MiniLM-L12-v2",
+) -> EncoderFactory:
+    """REAL-model EncoderFactory (VERDICT r5 #7): wraps a
+    SentenceTransformer behind the same executor-side-construction
+    contract as :func:`hash_encoder`, so ``SearchConfig(model=
+    "hybrid_dense", dense_encoder_factory=sentence_transformer_factory())``
+    is the one-line swap the seam was built for. The import happens INSIDE
+    the inner factory — i.e. on the executor, once per python worker — so
+    the driver never serializes model weights and environments without
+    torch can still import this module. Raises ImportError at encode time
+    when sentence-transformers is absent (this sandbox: documented
+    env-limit; the marker-gated test in tests/test_real_models.py
+    exercises it wherever torch exists)."""
+
+    def factory() -> Callable[[list[str]], np.ndarray]:
+        from sentence_transformers import SentenceTransformer  # executor-side
+
+        model = SentenceTransformer(model_name)
+
+        def encode(texts: list[str]) -> np.ndarray:
+            return np.asarray(
+                model.encode(
+                    [str(t or "") for t in texts],
+                    normalize_embeddings=True,
+                    show_progress_bar=False,
+                ),
+                dtype=np.float32,
+            )
+
+        return encode
+
+    return factory
+
+
 # ---------------------------------------------------------------------------
 # Cross-encoder seam (SURVEY §2 V11)
 # ---------------------------------------------------------------------------
@@ -143,6 +178,30 @@ def overlap_cross_scorer() -> Callable[[list[str], list[str]], np.ndarray]:
         return out
 
     return score
+
+
+def cross_encoder_model_factory(
+    model_name: str = "cross-encoder/ms-marco-MiniLM-L-6-v2",
+) -> PairScorerFactory:
+    """REAL-model PairScorerFactory (VERDICT r5 #7): the
+    :func:`overlap_cross_scorer` drop-in backed by a sentence-transformers
+    CrossEncoder. Same executor-side import/construction contract as
+    :func:`sentence_transformer_factory`; returns raw logits — the
+    JVM-side sigmoid in :func:`cross_encoder_scores` calibrates them."""
+
+    def factory() -> Callable[[list[str], list[str]], np.ndarray]:
+        from sentence_transformers import CrossEncoder  # executor-side
+
+        model = CrossEncoder(model_name)
+
+        def score(a_texts: list[str], b_texts: list[str]) -> np.ndarray:
+            pairs = [(str(a or ""), str(b or ""))
+                     for a, b in zip(a_texts, b_texts)]
+            return np.asarray(model.predict(pairs), dtype=np.float64)
+
+        return score
+
+    return factory
 
 
 def cross_encoder_scores(

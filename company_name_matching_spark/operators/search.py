@@ -75,6 +75,11 @@ class SearchConfig:
     # thresholds transfer. False = normalize over blocked candidates only
     # (cheaper at extreme scale; thresholds become engine-specific).
     bm25_corpus_max: bool = True
+    # optional web-scale bound on the corpus-max posting scan: query terms
+    # with df > cap are excluded from the per-query max expansion (a
+    # documented lower-bound trade, bm25.bm25_pair_scores). None (default)
+    # = exact reference parity; only consulted when bm25_corpus_max=True.
+    bm25_max_term_df: int | None = None
     lsa_weight: float = 0.5
     lsa_components: int = 16
     lsa_vocab: int = 512
@@ -274,7 +279,9 @@ def search_topk(
                 c, q, scored.select("left_id", "right_id"), stats=st
             )
             b = b.join(
-                bm25_mod.bm25_query_max(c, q, stats=st),
+                bm25_mod.bm25_query_max(
+                    c, q, stats=st, max_term_df=cfg.bm25_max_term_df
+                ),
                 "left_id",
                 "left",
             ).withColumn("_bmax", F.coalesce(F.col("bm25_max"), F.lit(0.0)))

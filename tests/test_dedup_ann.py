@@ -371,6 +371,71 @@ def test_winnow_containment_detects_embedded_passage(spark):
     assert capped == 0
 
 
+def test_winnow_containment_adaptive_cap_recall_bound(spark):
+    """max_fp_df="adaptive" (VERDICT r5 #5): the quantile-derived cap must
+    sit ABOVE the organic df bulk (recall preserved — the embedded-passage
+    pair survives with its exact containment) while a margin-level
+    template fingerprint present in EVERY doc is droppable by a tighter
+    margin/floor. Cap boundary: with floor pinned to the bulk df, pairs
+    qualifying only through the ubiquitous chrome are lost — the
+    documented trade, exercised at its boundary."""
+    from company_name_matching_spark.operators import dedup
+
+    chrome = "all rights reserved terms of service privacy policy footer"
+    passage = ("subscribe to our weekly newsletter for updates offers "
+               "and exclusive member discounts every single friday")
+    rows = [(1, f"{passage} {chrome}"),
+            (2, f"a long page about spark shuffle internals and adaptive "
+                f"query execution. {passage} plus more body text about "
+                f"partitions executors codegen. {chrome}")]
+    # 8 unrelated docs sharing ONLY the chrome → its fingerprints have
+    # df = 10 (every doc); organic fingerprints have df ≤ 2
+    rows += [(10 + i,
+              f"unrelated page number {i} with its own distinct body text "
+              f"about topic-{i} and nothing else in common. {chrome}")
+             for i in range(8)]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    exact = {(r["left_id"], r["right_id"]): r["containment"]
+             for r in dedup.winnow_containment_pairs(
+                 d, threshold=0.8).collect()}
+    assert (1, 2) in exact
+    # adaptive with default margin: p99.9 of df ≈ 10 (the chrome), cap =
+    # 4×10 = 40 ≥ every df → identical to exact (recall bound holds
+    # trivially when no true outlier exists beyond the margin)
+    adaptive = {(r["left_id"], r["right_id"]): r["containment"]
+                for r in dedup.winnow_containment_pairs(
+                    d, threshold=0.8, max_fp_df="adaptive").collect()}
+    assert adaptive == exact
+    # cap boundary: anchor the quantile at the organic bulk (median df
+    # is 1 — body-text fingerprints are doc-unique) with margin 1 and the
+    # floor at the passage df (2) → cap = 2 < chrome df = 10: the passage
+    # pair sits EXACTLY at the cap and survives with its exact containment
+    # (verification runs over FULL fingerprint sets, so the score is
+    # uncapped even though candidacy was); chrome fingerprints are dropped
+    tight = {(r["left_id"], r["right_id"]): r["containment"]
+             for r in dedup.winnow_containment_pairs(
+                 d, threshold=0.8, max_fp_df="adaptive",
+                 adaptive_quantile=0.5, adaptive_margin=1.0,
+                 adaptive_floor=2).collect()}
+    assert tight.get((1, 2)) == exact[(1, 2)]
+    # a LOW threshold makes chrome-only pairs real: the exact join finds
+    # them, the tight adaptive cap loses exactly those (the documented
+    # recall trade, and only that — the passage pair persists)
+    exact_low = {(r["left_id"], r["right_id"])
+                 for r in dedup.winnow_containment_pairs(
+                     d, threshold=0.2).collect()}
+    tight_low = {(r["left_id"], r["right_id"])
+                 for r in dedup.winnow_containment_pairs(
+                     d, threshold=0.2, max_fp_df="adaptive",
+                     adaptive_quantile=0.5, adaptive_margin=1.0,
+                     adaptive_floor=2).collect()}
+    assert tight_low < exact_low and (1, 2) in tight_low
+    import pytest
+
+    with pytest.raises(ValueError, match="max_fp_df"):
+        dedup.winnow_containment_pairs(d, max_fp_df="quantile").count()
+
+
 def test_new_channels_degenerate_inputs(spark):
     """Empty / single-doc / empty-text corpora must produce empty results
     with stable schemas, not crashes — the shapes every 100-TB partition

@@ -373,6 +373,64 @@ def test_bm25_query_max_is_corpus_wide(spark):
     assert got[11] > r_max[11]
 
 
+def test_bm25_query_max_term_df_cap(spark):
+    """max_term_df (VERDICT r5 #8): the web-scale bound on the corpus-max
+    posting scan. Capped = exactly the uncapped max computed over queries
+    with the high-df terms REMOVED (a lower bound); default None is
+    bit-identical to the uncapped path; a cap below every df yields no
+    rows (all query terms excluded)."""
+    from company_name_matching_spark.operators import bm25
+
+    corpus = spark.createDataFrame(
+        [
+            # "inc" is corpus-wide template chrome: df = 5 = N
+            (1, ["inc", "sao", "mai"]),
+            (2, ["inc", "sao"]),
+            (3, ["inc", "toan", "cau"]),
+            (4, ["inc", "binh"]),
+            (5, ["inc", "an", "phat"]),
+        ],
+        "record_id bigint, tokens array<string>",
+    )
+    queries = spark.createDataFrame(
+        [(10, ["inc", "sao", "mai"]), (11, ["inc"])],
+        "record_id bigint, tokens array<string>",
+    )
+    uncapped = {
+        r["left_id"]: r["bm25_max"]
+        for r in bm25.bm25_query_max(corpus, queries).collect()
+    }
+    # None default == uncapped (parity)
+    assert uncapped == {
+        r["left_id"]: r["bm25_max"]
+        for r in bm25.bm25_query_max(
+            corpus, queries, max_term_df=None
+        ).collect()
+    }
+    # cap=4 excludes only "inc" (df=5); equals the uncapped max over the
+    # SAME queries with "inc" stripped — and query 11 (all terms capped)
+    # disappears rather than scoring 0
+    capped = {
+        r["left_id"]: r["bm25_max"]
+        for r in bm25.bm25_query_max(
+            corpus, queries, max_term_df=4
+        ).collect()
+    }
+    stripped = queries.select(
+        "record_id",
+        F.array_remove(F.col("tokens"), "inc").alias("tokens"),
+    )
+    expected = {
+        r["left_id"]: r["bm25_max"]
+        for r in bm25.bm25_query_max(corpus, stripped).collect()
+    }
+    assert capped == expected and set(capped) == {10}
+    # the cap is a LOWER bound on the true max ("inc" idf is the floored
+    # ε·avg_idf — positive — so dropping it can only shrink the score)
+    assert capped[10] < uncapped[10]
+    assert bm25.bm25_query_max(corpus, queries, max_term_df=0).count() == 0
+
+
 def test_catalog_partitioned_read_pins_written_schema(spark, tmp_path):
     """Partition-column types must come from the write-time schema, not
     per-root inference (ADVICE r4): a string partition value like '01' in
