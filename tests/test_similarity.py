@@ -30,6 +30,43 @@ def test_jaro_winkler_batch_matches_scalar():
         assert out[i] == pytest.approx(sim.jaro_winkler(left[i], right[i]))
 
 
+def test_jaro_winkler_vectorized_bit_identical_to_scalar():
+    """The numpy-vectorized batch kernel (VERDICT r5 #4) must be
+    BIT-identical (==, not approx) to the scalar reference on edge cases,
+    Vietnamese unicode, and a deterministic random corpus of mixed
+    lengths — the scalar stays in the file as the executable spec."""
+    import random
+
+    cases = [
+        ("", ""), (None, None), ("", None),           # empty==empty → 1.0
+        ("a", ""), ("", "abc"), ("a", "a"),
+        ("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"),
+        ("công ty cổ phần", "cong ty co phan"),        # diacritics ≠ ascii
+        ("tập đoàn hòa phát", "tập đoàn hoà phát"),
+        ("ab", "ba"), ("abcd" * 50, "abdc" * 50),      # long, transposed
+        ("x" * 199, "x" * 200),
+    ]
+    rng = random.Random(5)
+    alphabet = "abcdefgh ậđô"
+    for _ in range(300):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+        b = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+        cases.append((a, b))
+        if rng.random() < 0.2:
+            cases.append((a, a))
+    left = [c[0] for c in cases]
+    right = [c[1] for c in cases]
+    got = sim.jaro_winkler_batch(left, right)
+    want = np.fromiter(
+        (sim.jaro_winkler(a or "", b or "") for a, b in cases),
+        dtype=np.float64, count=len(cases),
+    )
+    mism = [(cases[i], got[i], want[i])
+            for i in range(len(cases)) if got[i] != want[i]]
+    assert not mism, mism[:5]
+    assert sim.jaro_winkler_batch([], []).shape == (0,)
+
+
 def test_tfidf_vector_and_cosine():
     corpus = ["tnhh son ha", "tnhh ha son", "cp viet nam"]
     # build idf by hand: df over distinct grams per doc
