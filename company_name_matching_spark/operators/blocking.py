@@ -180,8 +180,14 @@ def token_keys_col(tokens_col):
     )
 
 
-def generate_blocks(names: DataFrame, cfg: BlockingConfig | None = None) -> DataFrame:
+def generate_blocks(
+    names: DataFrame,
+    cfg: BlockingConfig | None = None,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """names → blocks(record_id, block_key), one row per (record, key).
+    ``passthrough`` columns ride along unchanged (e.g. a per-key weight for
+    the contracted key-domain path in :func:`candidate_pairs`).
 
     Only records with non-empty ``match_key`` participate. Both channels are
     computed in the same narrow map stage; ``explode`` fans out the LSH keys.
@@ -207,16 +213,21 @@ def generate_blocks(names: DataFrame, cfg: BlockingConfig | None = None) -> Data
     # stage the key array in its own projection before explode: Generate
     # re-evaluates its generator expression per OUTPUT row, which would
     # recompute the MinHash signature keys× per record (~1.6× measured)
-    staged = names.select("record_id", all_keys.alias("_keys"))
+    staged = names.select("record_id", *passthrough, all_keys.alias("_keys"))
     # no dedup shuffle here: (record_id, block_key) duplicates are impossible
     # by construction — channels are namespace-disjoint ("p:" / "l:{band}:" /
     # "t:"), band keys carry distinct band indices, and token keys are
     # array_distinct. Downstream consumers that form pairs dedup pairs anyway.
-    return staged.select("record_id", F.explode("_keys").alias("block_key"))
+    return staged.select(
+        "record_id", *passthrough, F.explode("_keys").alias("block_key")
+    )
 
 
 def filter_blocks(
-    blocks: DataFrame, cfg: BlockingConfig, min_size: int = 2
+    blocks: DataFrame,
+    cfg: BlockingConfig,
+    min_size: int = 2,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Drop singleton blocks (no pairs) and oversized hot blocks (pair-explosion
     cap — the explicit skew-splitting response the reference lacks).
@@ -235,8 +246,18 @@ def filter_blocks(
     map-side partial (no row buffering), and the join output stays
     hash-partitioned on ``block_key`` for the downstream pair expansion to
     reuse.
+
+    ``weight_col`` makes the size a weighted sum instead of a row count: the
+    contracted key-domain path in :func:`candidate_pairs` blocks DISTINCT
+    match keys but the cap must keep measuring *records*, so each key row
+    carries its member count as the weight — block sizes (and therefore the
+    kept/dropped set, including the adaptive cap's quantile) are value-equal
+    to the record-level blocking they contract.
     """
-    sizes = blocks.groupBy("block_key").agg(F.count(F.lit(1)).alias("_bsz"))
+    size_expr = (
+        F.sum(weight_col) if weight_col else F.count(F.lit(1))
+    )
+    sizes = blocks.groupBy("block_key").agg(size_expr.alias("_bsz"))
     cap = cfg.max_block_size
     if cfg.adaptive_cap:
         # bounded driver scalar: one approximate quantile over block sizes
@@ -255,13 +276,37 @@ def filter_blocks(
     return blocks.join(keep, "block_key")
 
 
-def candidate_pairs(
+def _pair_expand(df: DataFrame, ids_col: str, left: str, right: str) -> DataFrame:
+    """sorted id array → all (left < right) pairs, staged before explode
+    (Generate re-evaluates its generator expression per OUTPUT row)."""
+    anchors = df.select(
+        F.posexplode(ids_col).alias("_i", left), F.col(ids_col)
+    ).select(
+        left,
+        F.slice(
+            F.col(ids_col), F.col("_i") + F.lit(2), F.size(ids_col)
+        ).alias("_rest"),
+    )
+    return anchors.select(left, F.explode("_rest").alias(right))
+
+
+def candidate_pairs_record_level(
     names: DataFrame, cfg: BlockingConfig | None = None
 ) -> DataFrame:
-    """Blocked self-join → distinct candidate pairs (left_id < right_id).
+    """Record-level blocked pair expansion — the pre-round-5 shape, kept as
+    the equivalence reference for :func:`candidate_pairs` (the contracted
+    key-domain form must emit the identical pair set) and for inputs whose
+    block keys are NOT a pure function of ``match_key``.
 
-    The dedupe across generators happens BEFORE scoring: pairs found by both
-    the prefix and an LSH band are scored once (SURVEY.md §7 step 5).
+    Fused pair expansion instead of a blocked self-join. The round-2 plan
+    (materialize blocks → join blocks with itself on block_key → dedup)
+    shuffled the block table three more times (dedup-by-(id,key), two join
+    exchanges off the parquet re-read) and anti-scaled 8→32 threads on the
+    shuffle bus. filter_blocks leaves its output hash-partitioned on
+    block_key, so the groupBy REUSES that distribution (no new shuffle);
+    with every surviving block ≤ max_block_size the per-key collect_set
+    state and the per-row expansion are both bounded, and the sorted set
+    makes left < right by construction.
     """
     cfg = cfg or BlockingConfig()
     from company_name_matching_spark.sources.store import materialize
@@ -273,29 +318,115 @@ def candidate_pairs(
     blocks = filter_blocks(
         materialize(generate_blocks(names, cfg), "blocks"), cfg
     )
-    # Fused pair expansion instead of a blocked self-join. The round-2 plan
-    # (materialize blocks → join blocks with itself on block_key → dedup)
-    # shuffled the block table three more times (dedup-by-(id,key), two join
-    # exchanges off the parquet re-read) and anti-scaled 8→32 threads on the
-    # shuffle bus. filter_blocks leaves its output hash-partitioned on
-    # block_key, so the groupBy REUSES that distribution (no new shuffle);
-    # with every surviving block ≤ max_block_size the per-key collect_set
-    # state and the per-row expansion are both bounded, and the sorted set
-    # makes left < right by construction.
     grp = blocks.groupBy("block_key").agg(
         F.sort_array(F.collect_set("record_id")).alias("_ids")
     )
-    # stage each anchor's tail slice before explode — Generate re-evaluates
-    # its generator expression per OUTPUT row (see generate_blocks)
-    anchors = grp.select(
-        F.posexplode("_ids").alias("_i", "left_id"), "_ids"
-    ).select(
-        "left_id",
-        F.slice(
-            F.col("_ids"), F.col("_i") + F.lit(2), F.size("_ids")
-        ).alias("_rest"),
+    return _pair_expand(grp, "_ids", "left_id", "right_id").dropDuplicates(
+        ["left_id", "right_id"]
     )
-    return (
-        anchors.select("left_id", F.explode("_rest").alias("right_id"))
-        .dropDuplicates(["left_id", "right_id"])
+
+
+def candidate_pairs(
+    names: DataFrame, cfg: BlockingConfig | None = None
+) -> DataFrame:
+    """Blocked self-join → distinct candidate pairs (left_id < right_id).
+
+    The dedupe across generators happens BEFORE scoring: pairs found by both
+    the prefix and an LSH band are scored once (SURVEY.md §7 step 5).
+
+    Round-5 shape — contracted to the DISTINCT match-key domain. Every block
+    key (prefix, LSH band, token) is a pure function of ``match_key``
+    (``tokens`` = split(match_key)), so records sharing a match key have
+    IDENTICAL block memberships, and the record-level pair set factors into
+      * within-key pairs: all member pairs of every key that survives in ≥1
+        block, and
+      * cross-key pairs: the member cross product of every distinct
+        co-blocked key pair.
+    The expensive record-level ``dropDuplicates`` (28.7M pre-dedup rows for
+    12.4M pairs on the scaling workload — ~6 s of the 8-core pairs stage)
+    collapses to a key-pair dedup (~10³–10⁵ rows), and the MinHash/block-key
+    expressions run once per DISTINCT key instead of once per record — the
+    same contraction ``scoring.score_pairs`` applies to its kernels. On real
+    web corpora the exact-duplicate factor is the whole point: 100 TB of
+    pages contracts to the distinct-name domain before anything quadratic
+    or shuffle-heavy happens.
+
+    Scale guards, in order: (1) per-key counts are aggregated FIRST, so hot
+    blocks are capped on true record weights without ever buffering a member
+    array; (2) member arrays are collected ONLY for keys present in
+    surviving blocks — a pathological key (e.g. a normalized-to-nothing
+    boilerplate name with 10⁸ records) exceeds every block cap, is dropped,
+    and its array is never built, giving a hard ≤``max_block_size``-members
+    bound on aggregation state; (3) expansion joins are unhinted equi-joins
+    (AQE may broadcast the key tables when small; skew-split when not).
+    Equivalence to :func:`candidate_pairs_record_level` is pytest-enforced
+    on randomized corpora.
+    """
+    cfg = cfg or BlockingConfig()
+    from company_name_matching_spark.sources.store import materialize
+
+    # 1. per-key member counts (no arrays yet — see scale guard (1))
+    key_n = names.groupBy("match_key").agg(F.count(F.lit(1)).alias("_n"))
+    key_names = key_n.select(
+        F.col("match_key").alias("record_id"),
+        F.col("match_key"),
+        F.split("match_key", " ").alias("tokens"),
+        "_n",
     )
+    # 2. key-level blocks, weighted by member count so the hot-block cap
+    #    (and adaptive quantile) see the SAME sizes as record-level blocking
+    blocks = filter_blocks(
+        materialize(
+            generate_blocks(key_names, cfg, passthrough=("_n",)), "key_blocks"
+        ),
+        cfg,
+        weight_col="_n",
+    )
+    # 3. member arrays only for surviving keys (bounded by the cap)
+    present = blocks.select(
+        F.col("record_id").alias("match_key")
+    ).dropDuplicates(["match_key"])
+    members = materialize(
+        names.join(present, "match_key")
+        .groupBy("match_key")
+        .agg(F.sort_array(F.collect_set("record_id")).alias("_members")),
+        "key_members",
+    )
+    # 4. distinct co-blocked key pairs (the ONLY dedup shuffle left, on the
+    #    contracted domain; sorted set gives _lk < _rk across all blocks)
+    grp = blocks.groupBy("block_key").agg(
+        F.sort_array(F.collect_set("record_id")).alias("_keys")
+    )
+    key_pairs = _pair_expand(grp, "_keys", "_lk", "_rk").dropDuplicates(
+        ["_lk", "_rk"]
+    )
+    # 5. cross-key record pairs: expand both member arrays; record ids from
+    #    different keys are distinct, least/greatest restores left < right.
+    #    Disjointness (distinct key pairs → disjoint record-pair sets; a
+    #    record pair's key pair is unique) means NO record-level dedup.
+    cross = (
+        key_pairs.join(
+            members.select(
+                F.col("match_key").alias("_lk"), F.col("_members").alias("_lms")
+            ),
+            "_lk",
+        )
+        .join(
+            members.select(
+                F.col("match_key").alias("_rk"), F.col("_members").alias("_rms")
+            ),
+            "_rk",
+        )
+        .select(F.explode("_lms").alias("_a"), "_rms")
+        .select("_a", F.explode("_rms").alias("_b"))
+        .select(
+            F.least("_a", "_b").alias("left_id"),
+            F.greatest("_a", "_b").alias("right_id"),
+        )
+    )
+    # 6. within-key pairs: every surviving key's own members (identical
+    #    block memberships → they co-occur in each of its surviving blocks)
+    within = _pair_expand(
+        members.where(F.size("_members") >= 2), "_members", "left_id", "right_id"
+    )
+    return cross.unionByName(within)

@@ -200,6 +200,75 @@ def test_candidate_pairs_equals_naive_self_join(spark):
     assert got == naive and len(got) > 0, f"sym diff: {got ^ naive}"
 
 
+def test_candidate_pairs_key_contraction_equals_record_level(spark):
+    """The round-5 key-domain contraction (candidate_pairs) must emit the
+    IDENTICAL pair set as the record-level expansion it contracts — under
+    heavy exact duplication (the contraction axis), a static cap boundary
+    that drops a hot key entirely (its within-key pairs must vanish in BOTH
+    paths), and the adaptive cap (quantile over weighted vs row-count sizes
+    must agree)."""
+    import random as _random
+
+    from company_name_matching_spark.operators import blocking, normalize
+
+    rng = _random.Random(1234)
+    base = [
+        "cong ty tnhh son ha",
+        "thuong mai dich vu hoa binh",
+        "co phan dau tu xay dung thanh cong",
+        "tnhh mot thanh vien minh anh",
+        "doc nhat vo nhi",
+    ]
+    rows = []
+    uid = 0
+    for text in base:
+        # duplication factors 1..12: several records share each match key
+        for _ in range(rng.randint(1, 12)):
+            rows.append((f"u{uid}", text))
+            uid += 1
+        # near variants (distinct keys, co-blocked via prefix/LSH)
+        for j in range(rng.randint(1, 4)):
+            for _ in range(rng.randint(1, 6)):
+                rows.append((f"u{uid}", f"{text} {j}"))
+                uid += 1
+    # a hot key: enough exact duplicates to blow past max_block_size=20
+    rows += [(f"h{i}", "viet nam viet nam") for i in range(30)]
+    pages = spark.createDataFrame(rows, "pid string, text string")
+    names = normalize.normalize_mentions(pages, "pid", "text").persist()
+
+    for cfg in (
+        blocking.BlockingConfig(max_block_size=20),
+        blocking.BlockingConfig(adaptive_cap=True, adaptive_cap_floor=8),
+        blocking.BlockingConfig(channels=("prefix", "lsh", "token"),
+                                max_block_size=25),
+    ):
+        got = {
+            (r["left_id"], r["right_id"])
+            for r in blocking.candidate_pairs(names, cfg).collect()
+        }
+        want = {
+            (r["left_id"], r["right_id"])
+            for r in blocking.candidate_pairs_record_level(names, cfg).collect()
+        }
+        assert got == want and len(got) > 0, (
+            f"cfg={cfg}: {len(got ^ want)} differing pairs"
+        )
+    # the hot key must have been dropped by the weighted cap in both paths
+    hot_ids = {
+        r["record_id"]
+        for r in names.where(F.col("match_key") == "viet nam viet nam")
+        .select("record_id").collect()
+    }
+    got_all = {
+        (r["left_id"], r["right_id"])
+        for r in blocking.candidate_pairs(
+            names, blocking.BlockingConfig(max_block_size=20)
+        ).collect()
+    }
+    assert not any(a in hot_ids or b in hot_ids for a, b in got_all)
+    names.unpersist()
+
+
 def test_generate_blocks_rejects_unknown_channels(spark):
     """A typo'd channel name must fail loudly, not silently lose recall."""
     import pytest as _pytest
