@@ -397,8 +397,20 @@ def candidate_pairs(
     grp = blocks.groupBy("block_key").agg(
         F.sort_array(F.collect_set("record_id")).alias("_keys")
     )
-    key_pairs = _pair_expand(grp, "_keys", "_lk", "_rk").dropDuplicates(
-        ["_lk", "_rk"]
+    # Pre-fanout repartition (both expansions below): the key tables are
+    # tiny, so AQE coalesces their shuffles to ~1-2 partitions — and joins/
+    # explodes PRESERVE partitioning, so without this the multi-million-row
+    # record-pair output (and its checkpoint parquet) would land in those
+    # same 1-2 partitions, serializing every downstream map-side phase
+    # (measured: score stage flat ~19 s at local[2/8/32]). Round-robin over
+    # the session's shuffle width shuffles only the ~10³-10⁵ KEY rows, never
+    # the expanded pairs; per-row fan-out is cap-bounded, so row-count
+    # balance ≈ output balance.
+    n_part = int(names.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    key_pairs = (
+        _pair_expand(grp, "_keys", "_lk", "_rk")
+        .dropDuplicates(["_lk", "_rk"])
+        .repartition(n_part)
     )
     # 5. cross-key record pairs: expand both member arrays; record ids from
     #    different keys are distinct, least/greatest restores left < right.
@@ -427,6 +439,9 @@ def candidate_pairs(
     # 6. within-key pairs: every surviving key's own members (identical
     #    block memberships → they co-occur in each of its surviving blocks)
     within = _pair_expand(
-        members.where(F.size("_members") >= 2), "_members", "left_id", "right_id"
+        members.where(F.size("_members") >= 2).repartition(n_part),
+        "_members",
+        "left_id",
+        "right_id",
     )
     return cross.unionByName(within)
