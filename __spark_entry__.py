@@ -977,8 +977,11 @@ def er_cluster_parts(spark, sf_dir):
 
 def er_cluster_fuzzy_parts(spark, sf_dir):
     """FULL fuzzy ER — normalize → lossless candidates → pairwise scoring →
-    exact-clique contraction + iterative CC — under a TRUE oracle
-    (VERDICT r3 #4, closing the last rows-only check).
+    exact-clique contraction + size-gated CC (the contracted rep-graph is
+    far below the gate here, so labels come from the driver union-find fast
+    path — identical to the star iteration, which er_cluster_jaccard_docs
+    pins and oracle-exercises) — under a TRUE oracle (VERDICT r3 #4,
+    closing the last rows-only check).
 
     The scorer is restricted to its SQL-expressible channels
     (token-set Jaccard 0.6 + Levenshtein similarity 0.4, threshold 0.86,
@@ -1107,7 +1110,10 @@ def er_cluster_exact_parts(spark, sf_dir):
         .where(F.col("record_id") != F.col("dst"))
         .select(F.col("record_id").alias("src"), "dst")
     )
-    labels, _ = clustering.connected_components(edges)
+    # driver_edge_threshold=0 pins the DISTRIBUTED star iteration (this
+    # entry exists to oracle-exercise it; the engine default would dispatch
+    # a graph this small to the driver union-find fast path)
+    labels, _ = clustering.connected_components(edges, driver_edge_threshold=0)
     labels = clustering.attach_singletons(labels, names)
     ids = names.select("record_id", F.col("source_id").cast("long").alias("p_partkey"))
     # cluster_id is the component's min record HASH (engine-internal);
@@ -1141,7 +1147,8 @@ def er_cluster_jaccard_docs(spark, sf_dir):
     edges = pairs.select(
         F.col("left_id").alias("src"), F.col("right_id").alias("dst")
     )
-    labels, _ = clustering.connected_components(edges)
+    # pin the distributed star iteration (see er_cluster_exact_parts note)
+    labels, _ = clustering.connected_components(edges, driver_edge_threshold=0)
     labels = clustering.attach_singletons(
         labels, d.select(F.col("doc_id").alias("record_id"))
     )

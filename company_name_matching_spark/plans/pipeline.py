@@ -39,6 +39,9 @@ class PipelineConfig:
     run_id: str = "run-0"
     collect_partition_metrics: bool = True
     max_cc_iterations: int = 15
+    # size gate for the driver union-find CC fast path (0 = always iterate
+    # distributed; see clustering.connected_components)
+    cc_driver_edge_threshold: int = 1_000_000
 
 
 @dataclass
@@ -163,7 +166,8 @@ def run_pipeline(
     def _cluster():
         nonlocal cc_rounds
         clusters, cc_rounds = clustering.cluster_matches(
-            matches, names, cfg.max_cc_iterations
+            matches, names, cfg.max_cc_iterations,
+            cfg.cc_driver_edge_threshold,
         )
         return clusters
 

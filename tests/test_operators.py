@@ -140,13 +140,70 @@ def test_minhash_deterministic(spark):
 
 def test_connected_components_known_graph(spark):
     # components: {1,2,3,4} (chain), {10,11}, singleton 99 absent from edges
+    # driver_edge_threshold=0 pins the DISTRIBUTED star iteration
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    labels, rounds = clustering.connected_components(
+        edges, driver_edge_threshold=0
+    )
+    got = {r["record_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    assert 1 <= rounds <= 5
+
+
+def test_connected_components_driver_fast_path(spark):
+    """The size-gated driver union-find must label the known graph
+    identically to the star iteration (rounds == 0 marks the fast path)."""
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
     )
     labels, rounds = clustering.connected_components(edges)
     got = {r["record_id"]: r["cluster_id"] for r in labels.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
-    assert rounds <= 5
+    assert rounds == 0
+    # empty edge set → empty labels, still the fast path
+    empty, r0 = clustering.connected_components(
+        spark.createDataFrame([], "src long, dst long")
+    )
+    assert empty.count() == 0 and r0 == 0
+
+
+def test_connected_components_driver_equals_distributed(spark):
+    """Randomized multi-component graphs (chains, stars, cycles, dups,
+    reversed duplicates): driver union-find labels == star-iteration
+    labels, and string ids survive the fast path."""
+    import random
+
+    rng = random.Random(20260817)
+    rows = []
+    for comp in range(40):
+        base = comp * 100
+        nodes = [base + i for i in range(rng.randint(2, 12))]
+        # random spanning chain + extra random intra-component edges
+        for a, b in zip(nodes, nodes[1:]):
+            rows.append((a, b))
+        for _ in range(rng.randint(0, 6)):
+            a, b = rng.sample(nodes, 2)
+            rows.append((a, b))
+            if rng.random() < 0.3:
+                rows.append((b, a))  # reversed duplicate
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    fast, rf = clustering.connected_components(edges)
+    slow, rs = clustering.connected_components(edges, driver_edge_threshold=0)
+    assert rf == 0 and rs >= 1
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, slow.collect())
+    )
+    # string ids (doc ids) through the fast path
+    sedges = spark.createDataFrame(
+        [("d-b", "d-a"), ("d-b", "d-c"), ("x-1", "x-2")],
+        "src string, dst string",
+    )
+    slabels, _ = clustering.connected_components(sedges)
+    sgot = {r["record_id"]: r["cluster_id"] for r in slabels.collect()}
+    assert sgot == {"d-a": "d-a", "d-b": "d-a", "d-c": "d-a",
+                    "x-1": "x-1", "x-2": "x-1"}
 
 
 def test_connected_components_star_and_cycle(spark):
