@@ -67,6 +67,38 @@ def _materialize(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def _mem_probe(_):
+    """Framework-free memory-bandwidth probe (same kernel as
+    scripts/bench_scaling.py's ceiling microbench)."""
+    import numpy as np
+    import pandas as pd
+
+    t0 = time.monotonic()
+    s = pd.Series(["tnhh son ha viet nam so %d x" % i for i in range(60000)])
+    for _ in range(6):
+        s.str.replace(r"\b(son|nam)\b", "xx", regex=True)
+        a = np.arange(3_000_000, dtype=np.float64)
+        ((a * 1.7 + 3) % 97.0).sum()
+    return time.monotonic() - t0
+
+
+def host_calibration() -> dict:
+    """One cheap framework-free probe so every bench JSON is
+    self-calibrating: sandbox VMs differ by several x in memory bandwidth
+    across sessions (round 5 measured a 5.7x generation gap at 32 busy
+    cores), so absolute seconds are only comparable WITHIN a matching
+    calibration. Reference points from prior rounds' hosts are included
+    for the reader."""
+    import multiprocessing as mp
+
+    with mp.Pool(8) as p:
+        times = p.map(_mem_probe, range(8))
+    return {
+        "mem_bound_per_task_s_8busy": round(sum(times) / len(times), 2),
+        "reference_hosts_8busy": {"r4": 3.61, "r5": 7.93},
+    }
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from company_name_matching_spark.plans.pipeline import run_pipeline
@@ -74,6 +106,7 @@ def main() -> None:
     from company_name_matching_spark.sources import fixtures
 
     sf = _sf_of(SF_DIR)
+    calib = host_calibration()  # before the JVM exists: pure-host numbers
     spark = get_spark(app_name="bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -143,6 +176,7 @@ def main() -> None:
         "pairs_per_sec": round(pairs_scored / er_sec, 1) if er_sec > 0 else None,
         "clusters": n_clusters,
         "cpus": CPUS,
+        "host_calibration": calib,
     }
     # Compact scaling summary ONLY (round-2 lesson: embedding the full
     # bench_scaling.json blob pushed this line past the driver's tail
@@ -153,7 +187,8 @@ def main() -> None:
         try:
             blob = json.loads(scaling_file.read_text())
             compact: dict = {}
-            for key in ("strong_2_to_8", "strong_8_to_32", "weak_2_to_8", "weak_8_to_32"):
+            for key in ("strong_2_to_8", "strong_8_to_32",
+                        "weak_1_to_4", "weak_2_to_8", "weak_8_to_32"):
                 if key in blob and isinstance(blob[key], dict):
                     compact[key] = round(blob[key].get("efficiency", float("nan")), 3)
             levels = blob.get("levels", {})
