@@ -503,6 +503,20 @@ def docs_char_lm_quality(spark, sf_dir):
     return textstats.char_lm_scores(d).orderBy("doc_id")
 
 
+def docs_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals
+    (``textstats.repetition_signals``): duplicate-line fractions,
+    top-word occurrence fraction, and most-common 2-/3-gram character
+    coverage — the per-doc numbers a web-scale training-data filter
+    thresholds on (Rae et al. '21 §A1.1). All fractions are exact
+    integer-operand double divisions rounded to 6dp, so the DuckDB twin
+    reproduces every value."""
+    from company_name_matching_spark.functions import textstats
+
+    d = _t(spark, sf_dir, "documents")
+    return textstats.repetition_signals(d).orderBy("doc_id")
+
+
 BM25_QUERY_TERMS = ["spark", "table", "join"]
 
 
@@ -1200,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_winnow_neardup": docs_winnow_neardup,
         "docs_winnow_containment": docs_winnow_containment,
         "docs_char_lm_quality": docs_char_lm_quality,
+        "docs_repetition_signals": docs_repetition_signals,
         "docs_minhash_neardup": docs_minhash_neardup,
         "docs_simhash_neardup": docs_simhash_neardup,
         "emb_neardup": emb_neardup,

@@ -9,7 +9,8 @@ cross-engine reproducibility.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+import pandas as pd
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 # Tiny English stopword list (shared with the SQL oracle).
@@ -146,6 +147,65 @@ def winnow_gram_hashes(canon: Column, k: int = 8,
     ).otherwise(F.array().cast("array<long>"))
 
 
+def _winnow_arrow_udf(k: int, w: int):
+    """Vectorized winnowing kernel: gram-hash + window-min selection fused
+    into ONE Arrow-batched pandas UDF (round-5 measurement: the interpreted
+    HOF machinery — per-position ``substr`` + ``array_min(slice(...))``
+    lambdas — dominates the stage cost, not the hash function; see
+    BENCH.md "Winnowing fast-hash path").
+
+    Per doc (numpy, O(n)): codepoint array → uint64 Horner rolling hash
+    over each char ``k``-gram (wrap-around mod 2⁶⁴, odd base — same
+    collision class as any 64-bit mixing hash for sketch purposes) →
+    ``np.minimum``-reduce over ``w`` shifted slices → ``np.unique``
+    (distinct + sorted). Edge semantics replicate the HOF engines exactly
+    (pair-set-equality pytest): null/blank canon → EMPTY set; 0 < len < k
+    → one truncated gram; n_windows = max(m-w+1, 1).
+
+    The per-doc python loop costs ~tens of µs of numpy-call overhead per
+    row — linear work dominates from ~1 KB docs up. If profiling ever
+    shows the overhead matter on short-doc corpora, the next step is
+    batch-level concatenation with boundary masking, not a return to HOFs.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.uint64(0x9E3779B97F4A7C55)  # odd 64-bit constant (golden-ratio)
+
+    def _one(text) -> np.ndarray:
+        if text is None or not text:
+            return np.array([], dtype=np.int64)
+        c = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        c = c.astype(np.uint64)
+        n = c.shape[0]
+        if n >= k:
+            m = n - k + 1
+            g = np.zeros(m, dtype=np.uint64)
+            for j in range(k):
+                g = g * B + c[j:j + m]
+        else:  # one truncated gram (keeps short strings matchable)
+            g = np.zeros(1, dtype=np.uint64)
+            for j in range(n):
+                g = g * B + c[j:j + 1]
+        m = g.shape[0]
+        if m >= w:
+            mins = g[: m - w + 1].copy()
+            for j in range(1, w):
+                np.minimum(mins, g[j: j + m - w + 1], out=mins)
+        else:
+            mins = g.min(keepdims=True)
+        # distinct, then sorted ascending AS SIGNED longs — the same
+        # convention sort_array(long) uses in the HOF engines, so every
+        # engine's fp arrays share one total order
+        return np.sort(np.unique(mins).view(np.int64))
+
+    @pandas_udf("array<long>")
+    def winnow_arrow(canon: pd.Series) -> pd.Series:
+        return canon.map(_one)
+
+    return winnow_arrow
+
+
 def winnow_select_mins(hashes: Column, w: int = 4) -> Column:
     """Distinct sorted window minima over a STAGED hash-array column (the
     winnowing selection). Same staging rule as winnow_gram_hashes: an
@@ -184,6 +244,14 @@ def winnow_fingerprint_table(docs, id_col: str = "doc_id",
     2 KB doc corpus times out). Returns (id_col, *extra_cols,
     fp array<long>); ``extra_cols`` (e.g. a blocking column) ride through
     the stages.
+
+    ``hash`` engines: ``"md5"`` (DuckDB-oracle-reproducible),
+    ``"xxhash64"`` (JVM HOFs, no Python), ``"arrow"`` (vectorized numpy
+    rolling-hash kernel, :func:`_winnow_arrow_udf` — fastest; fuses
+    gram-hash + selection into one Arrow batch). All three produce valid
+    Schleimer'03 selections with identical structure; fingerprint VALUES
+    differ per engine, so every doc in one near-dup comparison must use
+    one engine (pair-set-equality pytest covers all three).
     """
     from company_name_matching_spark.sources.store import materialize
 
@@ -196,6 +264,16 @@ def winnow_fingerprint_table(docs, id_col: str = "doc_id",
         docs.select(F.col(id_col), *extras, canon.alias("_ct")),
         "winnow_canon",
     )
+    if hash == "arrow":
+        # fused vectorized kernel: gram-hash + selection in one Arrow
+        # batch — no intermediate hash-array barrier needed (the fusion
+        # is safe here because the kernel evaluates each doc ONCE; the
+        # HOF engines must stage between gram and selection to avoid
+        # per-lambda re-evaluation)
+        return s1.select(
+            id_col, *extra_cols,
+            _winnow_arrow_udf(k, w)(F.col("_ct")).alias("fp"),
+        )
     s2 = materialize(
         s1.select(
             id_col, *extra_cols,
@@ -205,6 +283,144 @@ def winnow_fingerprint_table(docs, id_col: str = "doc_id",
     )
     return s2.select(
         id_col, *extra_cols, winnow_select_mins(F.col("_gh"), w).alias("fp")
+    )
+
+
+def repetition_signals(docs, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Gopher-style repetition quality signals (Rae et al., "Scaling
+    Language Models: ... Gopher", 2021, §A1.1 quality filters; same
+    family as CCNet/RefinedWeb repetition rules) — the per-document
+    numbers a web-scale training-data filter thresholds on:
+
+    * ``n_lines`` — non-empty trimmed lines (split on ``\\n``).
+    * ``dup_line_frac`` — fraction of line OCCURRENCES beyond the first
+      of their identical line: ``(n_lines - distinct_lines) / n_lines``.
+    * ``dup_line_char_frac`` — characters in those beyond-first
+      occurrences / characters in all lines.
+    * ``n_words`` — whitespace tokens of the canonical (lower, collapsed)
+      text.
+    * ``top_word_frac`` — occurrences of the most frequent word / total
+      words (ties broken lexicographically — deterministic cross-engine).
+    * ``top_2gram_char_frac`` / ``top_3gram_char_frac`` — non-space
+      characters covered by all occurrences of the most frequent word
+      2-/3-gram divided by total non-space characters (the Gopher
+      "fraction of characters in the most common n-gram" rule).
+
+    All fractions are 0.0 for degenerate inputs (blank doc, fewer words
+    than the gram width) and rounded to 6dp AFTER exact integer-operand
+    double division, so a DuckDB oracle reproduces every value exactly.
+
+    Shape: n-gram arrays are built IN-ROW (``transform`` over an index
+    sequence — no shuffle, no window) and only the (id, gram) pairs are
+    exploded into the two groupBy aggregations; everything downstream of
+    the explode is partitioned by ``id_col``. Scale cost is O(total
+    tokens) rows through two hash aggregations — the same class as the
+    token-stats operators.
+    """
+    idc = F.col(id_col)
+    # --- line-level (raw text: canon would collapse the newlines away) ---
+    lines = (
+        docs.select(idc, F.explode(F.split(F.col(text_col), "\n")).alias("_l"))
+        .select(id_col, F.trim("_l").alias("_l"))
+        .where(F.col("_l") != "")
+    )
+    per_line = lines.groupBy(id_col, "_l").agg(F.count(F.lit(1)).alias("_c"))
+    line_stats = per_line.groupBy(id_col).agg(
+        F.sum("_c").alias("n_lines"),
+        F.round(
+            (F.sum("_c") - F.count(F.lit(1))).cast("double")
+            / F.sum("_c").cast("double"), 6,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.sum((F.col("_c") - 1) * F.length("_l")).cast("double")
+            / F.sum(F.col("_c") * F.length("_l")).cast("double"), 6,
+        ).alias("dup_line_char_frac"),
+    )
+
+    # --- word / n-gram level (canonical text) ---
+    ct = canon_text(F.col(text_col))
+    toks = F.when(ct != "", F.split(ct, " ")).otherwise(
+        F.array().cast("array<string>")
+    )
+    base = docs.select(idc, toks.alias("_ws"))
+
+    def grams(n: int):
+        # guard: F.sequence(1, 0) yields a DESCENDING [1, 0], not empty
+        idxs = F.sequence(F.lit(1), F.size("_ws") - (n - 1))
+        g = F.transform(
+            idxs,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("_ws", i + j) for j in range(n)]
+            ),
+        )
+        return F.when(F.size("_ws") >= n, g).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    def top_frac(n: int, out_col: str):
+        """(id, out_col): char-coverage fraction of the most frequent
+        n-gram (n=1: occurrence fraction of the top word)."""
+        ex = base.select(id_col, F.size("_ws").alias("_nw"),
+                         F.explode(grams(n)).alias("_g"))
+        counted = ex.groupBy(id_col, "_nw", "_g").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_c").desc(), F.col("_g").asc()
+        )
+        top = counted.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") == 1
+        )
+        if n == 1:
+            return top.select(
+                id_col,
+                F.round(
+                    F.col("_c").cast("double") / F.col("_nw").cast("double"), 6
+                ).alias(out_col),
+            )
+        # non-space chars of the gram × occurrences / doc non-space chars
+        # (doc total rides in via a join on id: an aggregate over _ws is
+        # not visible post-explode)
+        doc_chars = base.select(
+            id_col,
+            F.aggregate("_ws", F.lit(0),
+                        lambda acc, t: acc + F.length(t)).alias("_dc"),
+        )
+        return (
+            top.join(doc_chars, id_col)
+            .select(
+                id_col,
+                F.round(
+                    (F.length(F.regexp_replace("_g", " ", "")) * F.col("_c"))
+                    .cast("double") / F.col("_dc").cast("double"), 6,
+                ).alias(out_col),
+            )
+        )
+
+    word_counts = base.select(id_col, F.size("_ws").alias("n_words"))
+    out = (
+        docs.select(idc)
+        .join(word_counts, id_col, "left")
+        .join(line_stats, id_col, "left")
+        .join(top_frac(1, "top_word_frac"), id_col, "left")
+        .join(top_frac(2, "top_2gram_char_frac"), id_col, "left")
+        .join(top_frac(3, "top_3gram_char_frac"), id_col, "left")
+    )
+    zeros = {
+        "n_lines": F.lit(0).cast("bigint"),
+        "dup_line_frac": F.lit(0.0),
+        "dup_line_char_frac": F.lit(0.0),
+        "top_word_frac": F.lit(0.0),
+        "top_2gram_char_frac": F.lit(0.0),
+        "top_3gram_char_frac": F.lit(0.0),
+    }
+    for c, z in zeros.items():
+        out = out.withColumn(c, F.coalesce(F.col(c), z))
+    return out.select(
+        id_col, "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "n_words", "top_word_frac", "top_2gram_char_frac",
+        "top_3gram_char_frac",
     )
 
 

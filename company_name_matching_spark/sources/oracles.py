@@ -459,6 +459,98 @@ def build_oracles() -> dict[str, str]:
             FROM bi JOIN model USING (bg)
             GROUP BY 1 ORDER BY 1
         """,
+        # repetition_signals twin: identical canon, identical tie-break
+        # (count DESC, gram ASC), identical 6dp-after-exact-division
+        "docs_repetition_signals": """
+            WITH c AS (
+                SELECT doc_id, text,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ct
+                FROM documents
+            ), ln AS (
+                SELECT doc_id, trim(l) AS l FROM (
+                    SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                    FROM c
+                ) WHERE trim(l) <> ''
+            ), per_line AS (
+                SELECT doc_id, l, COUNT(*) AS lc FROM ln GROUP BY doc_id, l
+            ), line_stats AS (
+                SELECT doc_id,
+                       CAST(SUM(lc) AS BIGINT) AS n_lines,
+                       ROUND(CAST(SUM(lc) - COUNT(*) AS DOUBLE)
+                             / CAST(SUM(lc) AS DOUBLE), 6) AS dup_line_frac,
+                       ROUND(CAST(SUM((lc - 1) * length(l)) AS DOUBLE)
+                             / CAST(SUM(lc * length(l)) AS DOUBLE), 6)
+                           AS dup_line_char_frac
+                FROM per_line GROUP BY doc_id
+            ), tok AS (
+                SELECT doc_id,
+                       CASE WHEN ct IS NULL OR ct = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE string_split(ct, ' ') END AS ws,
+                       length(replace(coalesce(ct, ''), ' ', '')) AS dc
+                FROM c
+            ), w1 AS (
+                SELECT doc_id, unnest(ws) AS g FROM tok
+            ), t1 AS (
+                SELECT doc_id, g, COUNT(*) AS gc FROM w1 GROUP BY doc_id, g
+            ), topw AS (
+                SELECT doc_id, gc FROM (
+                    SELECT doc_id, gc, ROW_NUMBER() OVER (
+                        PARTITION BY doc_id ORDER BY gc DESC, g ASC) AS rn
+                    FROM t1
+                ) WHERE rn = 1
+            ), g2 AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)),
+                              i -> ws[i] || ' ' || ws[i+1])) AS g
+                FROM tok WHERE len(ws) >= 2
+            ), t2 AS (
+                SELECT doc_id, g, COUNT(*) AS gc FROM g2 GROUP BY doc_id, g
+            ), top2 AS (
+                SELECT doc_id, g, gc FROM (
+                    SELECT doc_id, g, gc, ROW_NUMBER() OVER (
+                        PARTITION BY doc_id ORDER BY gc DESC, g ASC) AS rn
+                    FROM t2
+                ) WHERE rn = 1
+            ), g3 AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws) - 1),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                           AS g
+                FROM tok WHERE len(ws) >= 3
+            ), t3 AS (
+                SELECT doc_id, g, COUNT(*) AS gc FROM g3 GROUP BY doc_id, g
+            ), top3 AS (
+                SELECT doc_id, g, gc FROM (
+                    SELECT doc_id, g, gc, ROW_NUMBER() OVER (
+                        PARTITION BY doc_id ORDER BY gc DESC, g ASC) AS rn
+                    FROM t3
+                ) WHERE rn = 1
+            )
+            SELECT c.doc_id,
+                   COALESCE(ls.n_lines, 0) AS n_lines,
+                   COALESCE(ls.dup_line_frac, 0.0) AS dup_line_frac,
+                   COALESCE(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+                   CAST(len(tok.ws) AS INT) AS n_words,
+                   COALESCE(ROUND(CAST(topw.gc AS DOUBLE)
+                                  / CAST(len(tok.ws) AS DOUBLE), 6), 0.0)
+                       AS top_word_frac,
+                   COALESCE(ROUND(CAST(length(replace(top2.g, ' ', ''))
+                                       * top2.gc AS DOUBLE)
+                                  / CAST(tok.dc AS DOUBLE), 6), 0.0)
+                       AS top_2gram_char_frac,
+                   COALESCE(ROUND(CAST(length(replace(top3.g, ' ', ''))
+                                       * top3.gc AS DOUBLE)
+                                  / CAST(tok.dc AS DOUBLE), 6), 0.0)
+                       AS top_3gram_char_frac
+            FROM c
+            JOIN tok USING (doc_id)
+            LEFT JOIN line_stats ls USING (doc_id)
+            LEFT JOIN topw USING (doc_id)
+            LEFT JOIN top2 USING (doc_id)
+            LEFT JOIN top3 USING (doc_id)
+            ORDER BY doc_id
+        """,
         "docs_fingerprint_groups": f"""
             SELECT {_fingerprint('text')} AS fingerprint,
                    COUNT(*) AS group_size, MIN(doc_id) AS canonical_id

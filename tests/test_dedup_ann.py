@@ -281,11 +281,11 @@ def test_winnow_pairs_planted_and_equivalent(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5
     assert (3, 4) not in pairs  # boilerplate overlap diluted below 0.5
     # ...but the guarantee holds: 3 and 4 DO share fingerprints
-    # (hash="xxhash64" matches winnow_pairs' production default, so the
+    # (hash="arrow" matches winnow_pairs' production default, so the
     # naive quadratic twin below verifies the SAME fingerprint sets)
     fp = {r["doc_id"]: set(r["fp"])
           for r in textstats.winnow_fingerprint_table(
-              d, hash="xxhash64").collect()}
+              d, hash="arrow").collect()}
     assert fp[3] & fp[4]
     assert not (fp[1] & fp[5])
     # naive quadratic twin over the same sets == prefix-filtered output

@@ -621,6 +621,116 @@ def test_winnow_xxhash64_path_structural_parity(spark):
         textstats.winnow_gram_hashes(F.col("text"), 8, "sha1")
 
 
+def test_winnow_arrow_kernel_parity(spark):
+    """The vectorized Arrow winnow kernel (hash="arrow", the round-5
+    production default) must be BIT-identical to a direct python
+    implementation of the same uint64 Horner rolling hash + Schleimer'03
+    selection, replicate every HOF-engine edge semantic (blank → empty,
+    null → empty, len<k → one truncated gram, whitespace canon), and find
+    the identical near-dup pair set as the other engines."""
+    import re
+
+    from company_name_matching_spark.functions import textstats
+    from company_name_matching_spark.operators import dedup
+
+    B, M = 0x9E3779B97F4A7C55, 1 << 64
+
+    def py_arrow(text, k=8, w=4):
+        if text is None:
+            return []
+        canon = re.sub(r"\s+", " ", text.strip()).lower()
+        if not canon:
+            return []
+        c = [ord(ch) for ch in canon]
+        n = len(c)
+        if n >= k:
+            g = []
+            for i in range(n - k + 1):
+                h = 0
+                for j in range(k):
+                    h = (h * B + c[i + j]) % M
+                g.append(h)
+        else:  # one truncated gram
+            h = 0
+            for j in range(n):
+                h = (h * B + c[j]) % M
+            g = [h]
+        nw = max(len(g) - w + 1, 1)
+        mins = {min(g[i:i + w]) for i in range(nw)}
+        return sorted(v - M if v >= 1 << 63 else v for v in mins)
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river",
+        "the quick brown fox jumps over the lazy dog near the rivers",
+        "completely unrelated text about spark shuffle internals",
+        "công ty tnhh một thành viên sơn hà",   # non-ASCII codepoints
+        "ab",                                     # shorter than one gram
+        "  \t spaced\n\nout   text \n",           # canon edge
+        "",                                       # blank -> empty
+        None,                                     # null -> empty
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["fp"])
+        for r in textstats.winnow_fingerprint_table(df, hash="arrow").collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_arrow(t), i
+    assert got[6] == [] and got[7] == []
+    assert set(got[0]) & set(got[1])          # shared-substring guarantee
+    assert not set(got[0]) & set(got[2])
+    # all three engines find the identical pair set
+    psets = {
+        h: {(r["left_id"], r["right_id"])
+            for r in dedup.winnow_pairs(df, threshold=0.5, hash=h).collect()}
+        for h in ("md5", "xxhash64", "arrow")
+    }
+    assert psets["md5"] == psets["xxhash64"] == psets["arrow"] == {(0, 1)}
+
+
+def test_repetition_signals_hand_values(spark):
+    """textstats.repetition_signals vs hand-computed Gopher-rule values,
+    including the line-level path the synthetic docs (no newlines) leave
+    trivially zero at the oracle: duplicate-line fractions, tie-broken
+    top grams, degenerate inputs (blank, null, single word)."""
+    from company_name_matching_spark.functions import textstats
+
+    rows = [
+        (1, "the cat sat on the mat the cat sat again"),
+        (2, "line one\nline two\nline one\n\n  line one  "),
+        (3, ""),
+        (4, None),
+        (5, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in textstats.repetition_signals(df).collect()}
+    # doc 1: 10 words, "the"x3; 2-gram tie at 2 ("cat sat" < "the cat"
+    # lexicographically) -> 12 of 31 non-space chars; "the cat sat"x2
+    assert got[1]["n_words"] == 10 and got[1]["top_word_frac"] == 0.3
+    assert got[1]["top_2gram_char_frac"] == round(12 / 31, 6)
+    assert got[1]["top_3gram_char_frac"] == round(18 / 31, 6)
+    assert got[1]["n_lines"] == 1 and got[1]["dup_line_frac"] == 0.0
+    # doc 2: trimmed non-empty lines "line one"x3 + "line two";
+    # beyond-first occurrences = 2 of 4 lines, 16 of 32 line chars
+    assert got[2]["n_lines"] == 4
+    assert got[2]["dup_line_frac"] == 0.5
+    assert got[2]["dup_line_char_frac"] == 0.5
+    assert got[2]["top_word_frac"] == 0.5          # "line" x4 of 8
+    assert got[2]["top_2gram_char_frac"] == 0.75   # "line one" x3 -> 21/28
+    # degenerate inputs: everything 0
+    for d in (3, 4):
+        assert got[d]["n_lines"] == 0 and got[d]["n_words"] == 0
+        for c in ("dup_line_frac", "dup_line_char_frac", "top_word_frac",
+                  "top_2gram_char_frac", "top_3gram_char_frac"):
+            assert got[d][c] == 0.0, (d, c)
+    # single word: top_word_frac 1, no 2-grams
+    assert got[5]["top_word_frac"] == 1.0
+    assert got[5]["top_2gram_char_frac"] == 0.0
+
+
 def test_char_lm_scores_reference_and_signal(spark):
     """textstats.char_lm_scores vs a direct python implementation of the
     add-α bigram model (exact, incl. 6dp-round-before-mean), and the
