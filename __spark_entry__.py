@@ -517,6 +517,74 @@ def docs_repetition_signals(spark, sf_dir):
     return textstats.repetition_signals(d).orderBy("doc_id")
 
 
+def docs_chunk_dedup_stats(spark, sf_dir):
+    """CCNet-style corpus-level duplication stats at fixed-token-chunk
+    granularity (``dedup.chunk_dup_stats``): per doc, how many of its
+    3-token chunks also occur anywhere else in the corpus. Two
+    exchanges (window count on the chunk key, then the per-doc agg),
+    no join, chunk assembly fully JVM-side."""
+    from company_name_matching_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.chunk_dup_stats(d, chunk_tokens=3).orderBy("doc_id")
+
+
+def docs_chunk_dedup_keepfirst(spark, sf_dir):
+    """CCNet keep-first chunk removal (``dedup.dedup_chunks_keep_first``):
+    every non-first occurrence of a chunk corpus-wide is dropped and the
+    doc's survivors re-joined in order — the destructive counterpart of
+    ``docs_chunk_dedup_stats``. Keeper resolution is a first_value
+    window on the chunk key; fully deterministic ((doc_id, chunk_idx)
+    is a total order)."""
+    from company_name_matching_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.dedup_chunks_keep_first(d, chunk_tokens=3).orderBy(
+        "doc_id"
+    )
+
+
+def customers_pii_redacted(spark, sf_dir):
+    """PII scrubbing stage (``functions.pii``): regex redaction of
+    emails / IPv4s / phones / SSNs plus per-category match counts, all
+    inside whole-stage codegen (no UDF). The PII-bearing column is
+    derived deterministically from customer keys (the corpus tables
+    carry no organic PII), so the DuckDB twin replays redaction
+    byte-for-byte — same patterns, same chain order."""
+    from company_name_matching_spark.functions import pii
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    contact = F.concat_ws(
+        " ",
+        F.col("c_name"),
+        F.concat(F.lit("user"), k.cast("string"), F.lit("@example.com")),
+        F.concat(
+            F.lit("555-"),
+            F.lpad(((k * 7) % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((k * 13) % 10000).cast("string"), 4, "0"),
+        ),
+        F.concat_ws(
+            ".",
+            (k % 256).cast("string"),
+            ((k * 3) % 256).cast("string"),
+            ((k * 5) % 256).cast("string"),
+            ((k * 7) % 256).cast("string"),
+        ),
+        F.col("c_mktsegment"),
+    )
+    d = c.select("c_custkey", contact.alias("contact"))
+    return d.select(
+        "c_custkey",
+        pii.redact_pii(F.col("contact")).alias("redacted"),
+        pii.pii_count(F.col("contact"), "email").cast("long").alias("n_email"),
+        pii.pii_count(F.col("contact"), "ipv4").cast("long").alias("n_ipv4"),
+        pii.pii_count(F.col("contact"), "phone").cast("long").alias("n_phone"),
+        pii.pii_count(F.col("contact"), "ssn").cast("long").alias("n_ssn"),
+    ).orderBy("c_custkey")
+
+
 BM25_QUERY_TERMS = ["spark", "table", "join"]
 
 
@@ -1215,6 +1283,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_winnow_containment": docs_winnow_containment,
         "docs_char_lm_quality": docs_char_lm_quality,
         "docs_repetition_signals": docs_repetition_signals,
+        "docs_chunk_dedup_stats": docs_chunk_dedup_stats,
+        "docs_chunk_dedup_keepfirst": docs_chunk_dedup_keepfirst,
+        "customers_pii_redacted": customers_pii_redacted,
         "docs_minhash_neardup": docs_minhash_neardup,
         "docs_simhash_neardup": docs_simhash_neardup,
         "emb_neardup": emb_neardup,

@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "docs_winnow_neardup",
     "docs_char_lm_quality",
     "er_cluster_fuzzy_parts",
+    # round-5 operators
+    "docs_repetition_signals",
 ]
 
 

@@ -837,3 +837,134 @@ def winnow_containment_pairs(
             F.col("_i").alias("n_shared"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style corpus-level chunk (pseudo-paragraph) deduplication
+# ---------------------------------------------------------------------------
+
+def _chunk_occurrences(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+) -> DataFrame:
+    """One row per (doc, chunk_idx, chunk): the doc's token stream cut
+    into fixed-width windows of ``chunk_tokens`` whitespace tokens — the
+    stand-in for CCNet's paragraph unit on corpora whose text carries no
+    newlines (reference pipeline dedups extracted text at the paragraph
+    hash level; see reference README pipeline stage 'dedup').
+
+    Built entirely JVM-side: the chunk array is assembled with
+    ``transform(sequence(...), slice(...))`` so the explode is one row
+    per CHUNK, not per token — a ``chunk_tokens``× smaller shuffle input
+    than posexplode-per-token at corpus scale. Empty tokens are removed
+    first (blank/whitespace docs contribute nothing, matching Python
+    ``str.split()`` semantics rather than ``F.split``'s [""]).
+    """
+    toks = F.array_remove(F.split(F.col(text_col), " "), "")
+    d = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+        .where(F.size("_t") > 0)
+    )
+    n_chunks = F.ceil(F.size("_t") / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice("_t", i * chunk_tokens + 1, chunk_tokens), " "
+        ),
+    )
+    return d.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+
+
+def chunk_dup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 3,
+) -> DataFrame:
+    """Per-doc corpus-level duplication signals at chunk granularity
+    (CCNet §4.1 'deduplicating paragraphs across shards'): how much of
+    each document is boilerplate that also occurs elsewhere in the
+    corpus.
+
+    Plan: chunk occurrences → window ``count`` partitioned by the chunk
+    string (shuffle 1, partial-aggregated map-side by Spark's window
+    exec) → groupBy doc (shuffle 2). Two exchanges total, no join. At
+    web scale the window key would be ``xxhash64(chunk)`` (8-byte
+    shuffle key instead of the string); the string key is kept here so
+    the DuckDB oracle replays counts exactly with zero collision caveat.
+
+    Returns (doc_id, n_chunks, n_dup_chunks, dup_chunk_ratio) with the
+    ratio an exact integer-operand division rounded to 6dp.
+    """
+    occ = _chunk_occurrences(docs, id_col, text_col, chunk_tokens)
+    w = Window.partitionBy("chunk")
+    occ = occ.withColumn("_cc", F.count(F.lit(1)).over(w))
+    return (
+        occ.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("_cc") > 1).cast("long")).alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_chunk_ratio",
+            F.round(
+                F.col("n_dup_chunks").cast("double")
+                / F.col("n_chunks").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+def dedup_chunks_keep_first(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 3,
+) -> DataFrame:
+    """Corpus-level chunk removal with CCNet keep-first semantics: every
+    occurrence of a chunk except the globally first one (ordered by
+    (doc_id, chunk_idx)) is dropped, and each document's surviving
+    chunks are re-joined in original order.
+
+    The keeper is resolved with ``first_value`` over a window ordered by
+    (doc_id, chunk_idx) within each chunk partition — one shuffle on the
+    chunk key, no self-join — then reassembly is a sort_array over the
+    per-doc collect_list (shuffle 2). Deterministic for any input: the
+    (doc_id, chunk_idx) pair is a total order over occurrences.
+
+    Returns (doc_id, kept_text, n_kept, n_removed); docs whose every
+    chunk was removed still appear, with kept_text = ''.
+    """
+    occ = _chunk_occurrences(docs, id_col, text_col, chunk_tokens)
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    occ = occ.withColumn(
+        "_keep",
+        (F.col("doc_id") == F.first("doc_id").over(w))
+        & (F.col("chunk_idx") == F.first("chunk_idx").over(w)),
+    )
+    return (
+        occ.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct("chunk_idx", "chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("kept_text"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.sum((~F.col("_keep")).cast("long")).alias("n_removed"),
+        )
+    )

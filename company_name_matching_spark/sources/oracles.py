@@ -24,6 +24,17 @@ from company_name_matching_spark.functions.vnnorm import (
 )
 
 
+from company_name_matching_spark.functions import pii as _pii
+
+# DuckDB twins of the PII redaction chain, generated from the SAME
+# pattern table the engine executes (functions/pii.PII_PATTERNS) so the
+# oracle can never drift from the implementation.
+_pii_redact_sql = _pii.oracle_redact_sql("contact")
+_pii_count_sqls = [
+    _pii.oracle_count_sql("contact", name) for name, _p, _t in _pii.PII_PATTERNS
+]
+
+
 def _rr(expr: str, pattern: str, repl: str) -> str:
     pattern = pattern.replace("'", "''")
     repl = repl.replace("'", "''")
@@ -550,6 +561,96 @@ def build_oracles() -> dict[str, str]:
             LEFT JOIN top2 USING (doc_id)
             LEFT JOIN top3 USING (doc_id)
             ORDER BY doc_id
+        """,
+        # chunk dedup twins: identical tokenization (single-space split,
+        # empties removed), identical 3-token windows, identical
+        # keep-first total order (doc_id, chunk_idx)
+        "docs_chunk_dedup_stats": """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), t -> t <> '') AS ws
+                FROM documents
+            ), nz AS (
+                SELECT doc_id, ws FROM tok WHERE len(ws) > 0
+            ), occ AS (
+                SELECT doc_id,
+                       array_to_string(ws[i*3+1 : i*3+3], ' ') AS chunk
+                FROM (
+                    SELECT doc_id, ws,
+                           unnest(range(0, CAST(ceil(len(ws)/3.0) AS INT))) AS i
+                    FROM nz
+                )
+            ), cc AS (
+                SELECT doc_id,
+                       COUNT(*) OVER (PARTITION BY chunk) AS n_occ
+                FROM occ
+            )
+            SELECT doc_id,
+                   COUNT(*) AS n_chunks,
+                   CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_chunks,
+                   ROUND(CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                       AS dup_chunk_ratio
+            FROM cc GROUP BY doc_id ORDER BY doc_id
+        """,
+        "docs_chunk_dedup_keepfirst": """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), t -> t <> '') AS ws
+                FROM documents
+            ), nz AS (
+                SELECT doc_id, ws FROM tok WHERE len(ws) > 0
+            ), occ AS (
+                SELECT doc_id, i AS chunk_idx,
+                       array_to_string(ws[i*3+1 : i*3+3], ' ') AS chunk
+                FROM (
+                    SELECT doc_id, ws,
+                           unnest(range(0, CAST(ceil(len(ws)/3.0) AS INT))) AS i
+                    FROM nz
+                )
+            ), k AS (
+                SELECT doc_id, chunk_idx, chunk,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY chunk ORDER BY doc_id, chunk_idx
+                       ) = 1 AS keep
+                FROM occ
+            )
+            SELECT doc_id,
+                   COALESCE(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                            FILTER (WHERE keep), '') AS kept_text,
+                   CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_removed
+            FROM k GROUP BY doc_id ORDER BY doc_id
+        """,
+        "customers_pii_redacted": f"""
+            WITH d AS (
+                SELECT c_custkey,
+                       concat_ws(' ', c_name,
+                           'user' || CAST(c_custkey AS VARCHAR)
+                                  || '@example.com',
+                           '555-'
+                               || lpad(CAST((c_custkey*7)%1000 AS VARCHAR),
+                                       3, '0')
+                               || '-'
+                               || lpad(CAST((c_custkey*13)%10000 AS VARCHAR),
+                                       4, '0'),
+                           CAST(c_custkey%256 AS VARCHAR) || '.'
+                               || CAST((c_custkey*3)%256 AS VARCHAR) || '.'
+                               || CAST((c_custkey*5)%256 AS VARCHAR) || '.'
+                               || CAST((c_custkey*7)%256 AS VARCHAR),
+                           c_mktsegment) AS contact
+                FROM customer
+            )
+            SELECT c_custkey,
+                   {_pii_redact_sql} AS redacted,
+                   CAST({_pii_count_sqls[0]} AS BIGINT) AS n_email,
+                   CAST({_pii_count_sqls[1]} AS BIGINT) AS n_ipv4,
+                   CAST({_pii_count_sqls[2]} AS BIGINT) AS n_phone,
+                   CAST({_pii_count_sqls[3]} AS BIGINT) AS n_ssn
+            FROM d ORDER BY c_custkey
         """,
         "docs_fingerprint_groups": f"""
             SELECT {_fingerprint('text')} AS fingerprint,
