@@ -585,6 +585,62 @@ def customers_pii_redacted(spark, sf_dir):
     ).orderBy("c_custkey")
 
 
+def docs_hash_sample(spark, sf_dir):
+    """Deterministic Bernoulli sample (``sampling.hash_sample``): 10% of
+    documents keyed on md5(doc_id) — zero-shuffle narrow filter, same
+    rows on every rerun/engine/partitioning. The DuckDB twin compares
+    the identical lowercase-hex md5 prefix against the identical
+    threshold string."""
+    from company_name_matching_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        sampling.hash_sample(d, "doc_id", 0.1, salt="r5")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def docs_source_quota(spark, sf_dir):
+    """Per-source cap (``sampling.quota_per_key``): at most 40 documents
+    per crawl source, chosen by deterministic hash order — the standard
+    per-host/per-domain cap before training so one source cannot
+    dominate the corpus. One shuffle on the quota key; output bounded
+    at n_keys*cap regardless of skew."""
+    from company_name_matching_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        sampling.quota_per_key(d, "source", "doc_id", 40)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def docs_pack_assignments(spark, sf_dir):
+    """GPT-style sequence packing plan (``pack.pack_assignments``): the
+    corpus as one doc_id-ordered token stream cut every 512 tokens. The
+    global exclusive prefix sum underneath runs as the two-pass
+    distributed scan (range buckets → P-row offset cumsum → partitioned
+    in-bucket window) — NO single-partition window over the corpus. The
+    DuckDB oracle states the naive global window; their equality is the
+    correctness claim of the scan."""
+    from company_name_matching_spark.operators import pack
+
+    d = _t(spark, sf_dir, "documents")
+    return pack.pack_assignments(d, budget=512).orderBy("doc_id")
+
+
+def docs_pack_examples(spark, sf_dir):
+    """Per-training-example rollup of the packing plan
+    (``pack.pack_examples``): docs started / tokens contributed / id
+    range per 512-token example."""
+    from company_name_matching_spark.operators import pack
+
+    d = _t(spark, sf_dir, "documents")
+    return pack.pack_examples(d, budget=512).orderBy("example_id")
+
+
 BM25_QUERY_TERMS = ["spark", "table", "join"]
 
 
@@ -1286,6 +1342,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_chunk_dedup_stats": docs_chunk_dedup_stats,
         "docs_chunk_dedup_keepfirst": docs_chunk_dedup_keepfirst,
         "customers_pii_redacted": customers_pii_redacted,
+        "docs_hash_sample": docs_hash_sample,
+        "docs_source_quota": docs_source_quota,
+        "docs_pack_assignments": docs_pack_assignments,
+        "docs_pack_examples": docs_pack_examples,
         "docs_minhash_neardup": docs_minhash_neardup,
         "docs_simhash_neardup": docs_simhash_neardup,
         "emb_neardup": emb_neardup,

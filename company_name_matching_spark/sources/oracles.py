@@ -34,6 +34,13 @@ _pii_count_sqls = [
     _pii.oracle_count_sql("contact", name) for name, _p, _t in _pii.PII_PATTERNS
 ]
 
+from company_name_matching_spark.operators.sampling import (  # noqa: E402
+    _hex_threshold,
+)
+
+# generated from the SAME threshold function the engine filters with
+_sample_threshold = _hex_threshold(0.1)
+
 
 def _rr(expr: str, pattern: str, repl: str) -> str:
     pattern = pattern.replace("'", "''")
@@ -624,6 +631,71 @@ def build_oracles() -> dict[str, str]:
                    CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
                        AS n_removed
             FROM k GROUP BY doc_id ORDER BY doc_id
+        """,
+        # sampling twins: identical md5 decision space (lowercase-hex
+        # prefix vs the engine-generated threshold string), identical
+        # (md5, id) total order for quotas
+        "docs_hash_sample": f"""
+            SELECT doc_id, lang, source, n_chars
+            FROM documents
+            WHERE substring(md5('r5' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '{_sample_threshold}'
+            ORDER BY doc_id
+        """,
+        "docs_source_quota": """
+            SELECT doc_id, source
+            FROM documents
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            ) <= 40
+            ORDER BY doc_id
+        """,
+        # packing twins: the NAIVE global-window exclusive cumsum — the
+        # engine runs the two-pass distributed scan; their equality is
+        # the scan's correctness claim
+        "docs_pack_assignments": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS start_offset
+                FROM t
+            )
+            SELECT doc_id, n_tokens, start_offset,
+                   CAST(start_offset // 512 AS BIGINT) AS example_id,
+                   CAST((start_offset + greatest(n_tokens, 1) - 1) // 512
+                        - start_offset // 512 AS BIGINT) AS n_boundaries
+            FROM c ORDER BY doc_id
+        """,
+        "docs_pack_examples": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS start_offset
+                FROM t
+            )
+            SELECT CAST(start_offset // 512 AS BIGINT) AS example_id,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   MIN(doc_id) AS first_doc_id,
+                   MAX(doc_id) AS last_doc_id
+            FROM c GROUP BY 1 ORDER BY 1
         """,
         "customers_pii_redacted": f"""
             WITH d AS (
