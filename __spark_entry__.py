@@ -644,6 +644,95 @@ def docs_pack_examples(spark, sf_dir):
 BM25_QUERY_TERMS = ["spark", "table", "join"]
 
 
+def pages_extract_text(spark, sf_dir):
+    """HTML → text extraction byte-identity (``extract.extract_text_expr``,
+    the north star's per-url invariant): render each document into a
+    deterministic multi-tag page with entity-escaped body text plus
+    template chrome containing literal entities (``&amp; &lt; &quot;
+    &#39; &#x27;`` and the double-escape trap ``&amp;lt;``), then run the
+    whole-stage-codegen extractor over the BINARY html column.
+    ``mention_intact=1`` asserts the original document text survives
+    extraction byte-for-byte; the DuckDB oracle replays the identical
+    render+extract chain, so the hash match proves the extraction
+    semantics are engine-portable and exactly ordered (``&amp;`` last)."""
+    from company_name_matching_spark.operators import extract
+
+    d = _t(spark, sf_dir, "documents")
+    esc = F.col("text")
+    for a, b in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(a), F.lit(b))
+    html_str = F.concat(
+        F.lit("<html><head><title>doc "), F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><nav>home &amp; index &amp;lt;nav&amp;gt;</nav><h1>"),
+        esc,
+        F.lit('</h1><p class="meta">&quot;'), F.col("source"),
+        F.lit("&quot; &#39;"), F.col("lang"), F.lit("&#x27;</p></body></html>"),
+    )
+    pages = d.select(
+        "doc_id", "text", F.encode(html_str, "UTF-8").alias("html")
+    )
+    out = extract.extract_pages(pages, out_col="extracted")
+    return out.select(
+        "doc_id",
+        F.col("extracted").alias("extracted_text"),
+        F.when(
+            F.contains(F.col("extracted"), F.col("text")), F.lit(1)
+        ).otherwise(F.lit(0)).cast("int").alias("mention_intact"),
+    ).orderBy("doc_id")
+
+
+def urls_canonical_latest(spark, sf_dir):
+    """Crawl URL canonicalization + latest-snapshot dedup
+    (``extract.canonicalize_url_expr`` / ``latest_snapshot_per_url``):
+    deterministic messy urls (mixed-case scheme/host, default ``:443``
+    port, ``utm_*``/``gclid`` tracking params, fragments) with colliding
+    re-fetch snapshots and tied timestamps; keep the newest ``warc_ts``
+    per canonical url (raw-url tiebreak). One hash shuffle on the
+    canonical key — the same window-dedup shape as ``dedup.keep_longest``,
+    run before any per-page work at crawl scale so re-fetches never reach
+    extraction."""
+    from company_name_matching_spark.operators import extract
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    scheme = F.when(i % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTPS://"))
+    host = F.when(
+        i % 3 == 0, F.concat(F.col("source"), F.lit(".Example.COM:443"))
+    ).otherwise(F.concat(F.col("source"), F.lit(".example.com")))
+    query = (
+        F.when(i % 4 == 0, F.concat(F.lit("?utm_source=feed&page="), (i % 5).cast("string")))
+        .when(i % 4 == 1, F.concat(F.lit("?page="), (i % 5).cast("string"), F.lit("&gclid=zz")))
+        .when(i % 4 == 2, F.lit("?utm_campaign=x"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(i % 6 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    pages = d.select(
+        F.concat(scheme, host, F.lit("/p/"), (i % 7).cast("string"), query, frag).alias("url"),
+        (F.lit(1767225600) + (i % 13)).cast("bigint").alias("warc_ts"),
+    )
+    out = extract.latest_snapshot_per_url(pages)
+    return out.select(
+        "canonical_url", "url", "warc_ts",
+        F.col("n_snapshots").cast("bigint").alias("n_snapshots"),
+    ).orderBy("canonical_url")
+
+
+def docs_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (``dedup.decontaminate``, GPT-3 App. C /
+    Lee et al. '22 §6.3): flag corpus docs sharing any 3-token sliding
+    shingle with a held-out 'benchmark' split (every 41st doc). The
+    benchmark side collapses to a broadcast DISTINCT-shingle dimension,
+    so the corpus scan is a map-side semi-join — zero corpus-shingle
+    shuffle — then one doc-keyed agg. Clean docs are kept with zeros
+    (drop-in filter table)."""
+    from company_name_matching_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 41 != 0)
+    bench = d.where(F.col("doc_id") % 41 == 0)
+    return dedup.decontaminate(corpus, bench, n=3).orderBy("doc_id")
+
+
 def bm25_docs(spark, sf_dir):
     """Distributed Okapi BM25 over documents for a fixed term bag
     (SURVEY.md V4 — explode→join→agg, no in-memory index)."""
@@ -1346,6 +1435,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_source_quota": docs_source_quota,
         "docs_pack_assignments": docs_pack_assignments,
         "docs_pack_examples": docs_pack_examples,
+        "pages_extract_text": pages_extract_text,
+        "urls_canonical_latest": urls_canonical_latest,
+        "docs_decontaminate": docs_decontaminate,
         "docs_minhash_neardup": docs_minhash_neardup,
         "docs_simhash_neardup": docs_simhash_neardup,
         "emb_neardup": emb_neardup,

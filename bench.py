@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "er_cluster_fuzzy_parts",
     # round-5 operators
     "docs_repetition_signals",
+    "pages_extract_text",
 ]
 
 

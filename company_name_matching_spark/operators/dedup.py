@@ -968,3 +968,89 @@ def dedup_chunks_keep_first(
             F.sum((~F.col("_keep")).cast("long")).alias("n_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (GPT-3 Appendix C / Lee et al. '22 §6.3 style)
+# ---------------------------------------------------------------------------
+
+def _shingle_occurrences(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+) -> DataFrame:
+    """One row per DISTINCT (doc, n-token sliding shingle).
+
+    Unlike :func:`_chunk_occurrences` (fixed-width chunks, stride n),
+    decontamination needs stride-1 shingles: a contaminated span can
+    start at any token offset. The shingle array is assembled JVM-side
+    with ``transform(sequence(...), slice(...))`` and deduplicated
+    per-doc BEFORE the explode (``array_distinct``), so the exploded row
+    count is bounded by distinct shingles per doc, not raw positions.
+    Empty tokens are removed first (Python ``str.split()`` semantics).
+    """
+    toks = F.array_remove(F.split(F.col(text_col), " "), "")
+    d = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+        .where(F.size("_t") >= n)
+    )
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size("_t") - n),
+        lambda i: F.array_join(F.slice("_t", i + 1, n), " "),
+    )
+    return d.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Flag corpus documents sharing any ``n``-token shingle with a
+    benchmark/eval set — training-data decontamination (GPT-3 Appendix C
+    uses 13-gram overlap; Lee et al. '22 §6.3 the same shape).
+
+    Plan at web scale: the benchmark side (eval suites — thousands of
+    docs, not billions) collapses to a DISTINCT shingle dimension that is
+    **broadcast**, so the 10^12-doc corpus side is a single map-side
+    semi-join scan — zero shuffle of corpus shingles — followed by one
+    doc-keyed agg. For benchmark sets too big to broadcast, the same
+    plan degrades gracefully to a shuffle semi-join on the shingle key.
+    Production would join on ``xxhash64(shingle)`` (8-byte keys); string
+    keys are kept so the DuckDB oracle replays exactly with no collision
+    caveat.
+
+    Returns every corpus row's ``(doc_id, n_contaminated_shingles,
+    contaminated)`` — clean docs included with zeros, so the output is a
+    drop-in filter table.
+    """
+    c = _shingle_occurrences(corpus, id_col, text_col, n)
+    b = (
+        _shingle_occurrences(benchmark, id_col, bench_text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        c.join(F.broadcast(b), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+    )
+    ids = corpus.select(F.col(id_col).alias("doc_id"))
+    return (
+        ids.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated_shingles", F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated_shingles"),
+            (F.coalesce("n_contaminated_shingles", F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )

@@ -28,7 +28,9 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from company_name_matching_spark.operators import blocking, clustering, normalize, scoring
+from company_name_matching_spark.operators import (
+    blocking, clustering, extract, normalize, scoring,
+)
 from company_name_matching_spark.sources import store
 
 
@@ -148,9 +150,18 @@ def run_pipeline(
     checkpoint_dir: str | None = None,
     cfg: PipelineConfig | None = None,
 ) -> PipelineResult:
-    """Full record-linkage pipeline over a pages table."""
+    """Full record-linkage pipeline over a pages table.
+
+    A crawl-raw pages table (``html`` present, no ``text`` column) runs
+    through the JVM extraction front stage first — the north star's
+    byte-identical per-url extraction is ``operators.extract`` and is
+    fused into the normalize scan (no extra pass over the corpus).
+    """
     cfg = cfg or PipelineConfig()
     ck = _Checkpointer(spark, checkpoint_dir, cfg)
+
+    if "text" not in pages.columns and "html" in pages.columns:
+        pages = extract.extract_pages(pages)
 
     names = ck.run("normalize", lambda: normalize.normalize_pages(pages))
     pairs = ck.run("pairs", lambda: blocking.candidate_pairs(names, cfg.blocking))

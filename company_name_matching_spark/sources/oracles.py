@@ -697,6 +697,145 @@ def build_oracles() -> dict[str, str]:
                    MAX(doc_id) AS last_doc_id
             FROM c GROUP BY 1 ORDER BY 1
         """,
+        # Extraction byte-identity: the same render (entity-escape + tag
+        # template) and the same extraction chain (tag-strip -> entity
+        # replaces in the engine's exact order, &amp; LAST -> ws collapse
+        # -> trim) stated in DuckDB. Hash equality proves the Spark
+        # codegen extractor is engine-portable and exactly ordered.
+        "pages_extract_text": """
+            WITH page AS (
+                SELECT doc_id, text,
+                       '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+                       || '</title></head><body><nav>home &amp; index '
+                       || '&amp;lt;nav&amp;gt;</nav><h1>'
+                       || replace(replace(replace(text,
+                              '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                       || '</h1><p class="meta">&quot;' || source
+                       || '&quot; &#39;' || lang
+                       || '&#x27;</p></body></html>' AS html
+                FROM documents
+            ), ext AS (
+                SELECT doc_id, text,
+                       trim(regexp_replace(
+                           replace(replace(replace(replace(replace(replace(
+                               replace(
+                                   regexp_replace(html, '<[^>]+>', ' ', 'g'),
+                               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                               '&#x27;', ''''), '&#39;', ''''),
+                               '&nbsp;', ' '), '&amp;', '&'),
+                           '\\s+', ' ', 'g')) AS extracted_text
+                FROM page
+            )
+            SELECT doc_id, extracted_text,
+                   CAST(CASE WHEN position(text IN extracted_text) > 0
+                             THEN 1 ELSE 0 END AS INTEGER) AS mention_intact
+            FROM ext ORDER BY doc_id
+        """,
+        # URL canonicalization + latest-snapshot window stated verbatim:
+        # lowercase scheme/host, strip default port, drop fragment, drop
+        # tracking params keeping survivor order, empty path -> '/'.
+        "urls_canonical_latest": """
+            WITH synth AS (
+                SELECT
+                    (CASE WHEN doc_id % 2 = 0 THEN 'https://'
+                          ELSE 'HTTPS://' END)
+                    || (CASE WHEN doc_id % 3 = 0
+                             THEN source || '.Example.COM:443'
+                             ELSE source || '.example.com' END)
+                    || '/p/' || CAST(doc_id % 7 AS VARCHAR)
+                    || (CASE WHEN doc_id % 4 = 0
+                             THEN '?utm_source=feed&page='
+                                  || CAST(doc_id % 5 AS VARCHAR)
+                             WHEN doc_id % 4 = 1
+                             THEN '?page=' || CAST(doc_id % 5 AS VARCHAR)
+                                  || '&gclid=zz'
+                             WHEN doc_id % 4 = 2 THEN '?utm_campaign=x'
+                             ELSE '' END)
+                    || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END)
+                        AS url,
+                    CAST(1767225600 + (doc_id % 13) AS BIGINT) AS warc_ts
+                FROM documents
+            ), parsed AS (
+                SELECT url, warc_ts,
+                    lower(coalesce(regexp_extract(url,
+                        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+                    lower(coalesce(regexp_extract(url,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ''))
+                        AS hostport,
+                    coalesce(regexp_extract(url,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1), '')
+                        AS pathq
+                FROM synth
+            ), canon AS (
+                SELECT url, warc_ts, scheme,
+                    CASE WHEN scheme = 'https'
+                         THEN regexp_replace(hostport, ':443$', '')
+                         WHEN scheme = 'http'
+                         THEN regexp_replace(hostport, ':80$', '')
+                         ELSE hostport END AS host,
+                    CASE WHEN coalesce(regexp_extract(pathq,
+                             '^([^?]*)', 1), '') = '' THEN '/'
+                         ELSE regexp_extract(pathq, '^([^?]*)', 1)
+                         END AS path,
+                    -- array_to_string([]) is NULL in DuckDB (Spark's
+                    -- array_join gives ''): coalesce to match.
+                    coalesce(array_to_string(list_filter(
+                        string_split(coalesce(regexp_extract(pathq,
+                            '^[^?]*\\?(.*)$', 1), ''), '&'),
+                        p -> p <> '' AND NOT regexp_matches(p,
+                            '^(utm_[^=]*|fbclid|gclid)(=.*)?$')), '&'), '')
+                        AS kept_q
+                FROM parsed
+            ), c2 AS (
+                SELECT url, warc_ts,
+                    scheme || '://' || host || path
+                    || (CASE WHEN kept_q = '' THEN ''
+                             ELSE '?' || kept_q END) AS canonical_url
+                FROM canon
+            ), ranked AS (
+                SELECT canonical_url, url, warc_ts,
+                    ROW_NUMBER() OVER (PARTITION BY canonical_url
+                        ORDER BY warc_ts DESC, url ASC) AS rn,
+                    COUNT(*) OVER (PARTITION BY canonical_url)
+                        AS n_snapshots
+                FROM c2
+            )
+            SELECT canonical_url, url, warc_ts,
+                   CAST(n_snapshots AS BIGINT) AS n_snapshots
+            FROM ranked WHERE rn = 1 ORDER BY canonical_url
+        """,
+        # Decontamination twin: identical stride-1 3-token shingling,
+        # per-doc distinct, benchmark = every 41st doc, count of shared
+        # distinct shingles per corpus doc; clean docs kept with zeros.
+        "docs_decontaminate": """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), t -> t <> '')
+                           AS ws
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, len(ws) - 1),
+                           i -> array_to_string(
+                               list_slice(ws, i, i + 2), ' ')))) AS shingle
+                FROM tok WHERE len(ws) >= 3
+            ), bench AS (
+                SELECT DISTINCT shingle FROM sh WHERE doc_id % 41 = 0
+            ), hits AS (
+                SELECT doc_id, COUNT(*) AS n
+                FROM sh JOIN bench USING (shingle)
+                WHERE doc_id % 41 <> 0
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT)
+                       AS n_contaminated_shingles,
+                   CAST(CASE WHEN coalesce(h.n, 0) > 0 THEN 1 ELSE 0 END
+                        AS INTEGER) AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            WHERE d.doc_id % 41 <> 0 ORDER BY d.doc_id
+        """,
         "customers_pii_redacted": f"""
             WITH d AS (
                 SELECT c_custkey,

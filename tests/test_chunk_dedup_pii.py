@@ -165,3 +165,52 @@ def test_pii_counts_decompose_redaction(spark):
     for name, tok in [("email", "<EMAIL>"), ("ipv4", "<IP>"),
                       ("phone", "<PHONE>"), ("ssn", "<SSN>")]:
         assert red.count(tok) == c[name], (name, red, c)
+
+
+class TestDecontaminate:
+    def _dfs(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "x y alpha beta gamma z"),      # shares 1 shingle
+                (2, "beta gamma delta epsilon q"),  # shares 2 shingles
+                (3, "totally clean text here ok"),  # clean
+                (4, "alpha beta"),                  # shorter than n -> clean
+                (5, "alpha beta gamma alpha beta gamma"),  # dup shingle counted once
+            ],
+            "doc_id long, text string",
+        )
+        return corpus, bench
+
+    def test_known_values(self, spark):
+        from company_name_matching_spark.operators import dedup
+
+        corpus, bench = self._dfs(spark)
+        out = {
+            r.doc_id: (r.n_contaminated_shingles, r.contaminated)
+            for r in dedup.decontaminate(corpus, bench, n=3).collect()
+        }
+        assert out == {
+            1: (1, 1),
+            2: (2, 1),
+            3: (0, 0),
+            4: (0, 0),
+            5: (1, 1),
+        }
+
+    def test_partition_invariance(self, spark):
+        from company_name_matching_spark.operators import dedup
+
+        corpus, bench = self._dfs(spark)
+        a = sorted(map(tuple, dedup.decontaminate(corpus, bench, n=3).collect()))
+        b = sorted(
+            map(
+                tuple,
+                dedup.decontaminate(
+                    corpus.repartition(5), bench.repartition(3), n=3
+                ).collect(),
+            )
+        )
+        assert a == b
