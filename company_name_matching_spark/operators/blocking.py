@@ -2,7 +2,9 @@
 
 The reference compares every query against a global in-memory index
 (``matcher.py:365``), which cannot scale; blocking is the centerpiece that
-replaces it (SURVEY.md J4). Two complementary generators:
+replaces it (SURVEY.md J4). Four complementary generators (two on by
+default; ``t:`` per-token and ``s:`` phonetic prefix are opt-in recall
+channels):
 
 * ``p:`` sorted-token prefix — first 2 tokens of ``sort_array(tokens)``.
   Catches everything the normalization collapses (most combinatorial
@@ -180,6 +182,29 @@ def token_keys_col(tokens_col):
     )
 
 
+def phonetic_key_col(tokens_col, cfg: BlockingConfig):
+    """'s:' + soundex codes of the first N sorted tokens — the phonetic
+    blocking channel (north star: 'sorted-token prefix + phonetic/char-ngram
+    MinHash-LSH bands'). A typo-robust twin of the prefix key: tokens that
+    differ by vowel swaps or doubled consonants ('sunhouse'/'sunhose',
+    'viettel'/'vietel') fold to one code, so typo'd first tokens that break
+    the exact prefix key still land in one block. Pure JVM ``soundex``
+    (whole-stage codegen, no shuffle added — one more key per record through
+    the same explode). Folded ASCII match keys are exactly soundex's input
+    domain, which is why the fold happens before blocking. OFF by default —
+    enable via ``channels=(..., "phonetic")``."""
+    return F.concat(
+        F.lit("s:"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.slice(F.sort_array(tokens_col), 1, cfg.prefix_tokens),
+                F.soundex,
+            ),
+        ),
+    )
+
+
 def generate_blocks(
     names: DataFrame,
     cfg: BlockingConfig | None = None,
@@ -193,14 +218,14 @@ def generate_blocks(
     computed in the same narrow map stage; ``explode`` fans out the LSH keys.
     """
     cfg = cfg or BlockingConfig()
-    unknown = set(cfg.channels) - {"prefix", "lsh", "token"}
+    unknown = set(cfg.channels) - {"prefix", "lsh", "token", "phonetic"}
     if unknown or not cfg.channels:
         # fail loudly: a typo'd channel name ("tokens") would otherwise
         # silently disable the recall it was enabled for, and an empty
         # channel list would surface only as a bare IndexError below
         raise ValueError(
             f"unknown blocking channels {sorted(unknown)}; "
-            "valid: 'prefix', 'lsh', 'token' (need at least one)"
+            "valid: 'prefix', 'lsh', 'token', 'phonetic' (need at least one)"
         )
     key_arrays = []
     if "prefix" in cfg.channels:
@@ -209,6 +234,8 @@ def generate_blocks(
         key_arrays.append(band_keys_col(F.col("match_key"), cfg))
     if "token" in cfg.channels:
         key_arrays.append(token_keys_col(F.col("tokens")))
+    if "phonetic" in cfg.channels:
+        key_arrays.append(F.array(phonetic_key_col(F.col("tokens"), cfg)))
     all_keys = F.concat(*key_arrays) if len(key_arrays) > 1 else key_arrays[0]
     # stage the key array in its own projection before explode: Generate
     # re-evaluates its generator expression per OUTPUT row, which would

@@ -774,3 +774,51 @@ def test_char_lm_scores_reference_and_signal(spark):
     # separation is modest — the gibberish trains the model too; on a
     # real corpus the margin grows with corpus/model sharpness)
     assert got[4][1] > max(fluent) + 0.3
+
+
+def test_phonetic_channel_recalls_prefix_typos(spark):
+    """The 's:' phonetic channel (soundex-folded sorted prefix) blocks
+    together typo'd first tokens that break the exact 'p:' prefix key —
+    the north star's 'phonetic' blocking leg. Each channel is isolated
+    (single-channel configs) so LSH cannot mask the comparison."""
+    rows = [
+        ("u1", None, None, "anvico zentrix", "vi", "e1", "corpus"),
+        ("u2", None, None, "anvicco zentrix", "vi", "e1", "typo"),
+    ]
+    import datetime as dt
+
+    rows = [
+        (u, dt.datetime(2026, 1, 1), fixtures.render_html(t), t, lang, e, k)
+        for (u, _, _, t, lang, e, k) in rows
+    ]
+    names = normalize.normalize_pages(
+        spark.createDataFrame(rows, fixtures.PAGES_SCHEMA)
+    )
+
+    def shared_blocks(channels):
+        cfg = blocking.BlockingConfig(channels=channels)
+        b = blocking.generate_blocks(names, cfg)
+        return (
+            b.groupBy("block_key")
+            .count()
+            .where(F.col("count") >= 2)
+            .count()
+        )
+
+    assert shared_blocks(("prefix",)) == 0       # exact prefix key broken
+    assert shared_blocks(("phonetic",)) >= 1     # soundex fold recovers it
+    # phonetic keys are namespaced and compose with the default channels
+    both = blocking.generate_blocks(
+        names, blocking.BlockingConfig(channels=("prefix", "lsh", "phonetic"))
+    )
+    assert both.where(F.col("block_key").startswith("s:")).count() == 2
+
+
+def test_unknown_channel_raises(spark):
+    import pytest
+
+    _, names = _names(spark, 5, 2)
+    with pytest.raises(ValueError, match="unknown blocking channels"):
+        blocking.generate_blocks(
+            names, blocking.BlockingConfig(channels=("prefix", "fonetic"))
+        )
