@@ -106,9 +106,11 @@ def validate_mentions(df: DataFrame, text_col: str = "text") -> DataFrame:
 def normalize_mentions(
     df: DataFrame, id_col: str, text_col: str, keep_cols: tuple[str, ...] = (),
     id_domain: str = "",
+    dedup_normalize: str = "never",
 ) -> DataFrame:
     """Generic mention normalization: any (id, text) table → normalized
-    records with all scoring-side features. One shuffle-free map.
+    records with all scoring-side features. One shuffle-free map (or a
+    distinct-text contraction when duplication pays for it — below).
 
     CONTRACT: ``id_col`` must be unique within ``df`` — ``record_id`` is its
     hash, and a duplicated id fans out every downstream per-record join
@@ -116,9 +118,48 @@ def normalize_mentions(
     path enforces uniqueness with its anti-join). When two normalized
     tables from DIFFERENT id spaces are unioned (e.g. search's corpus ∪
     queries), give each a distinct ``id_domain`` — it is hashed with the id
-    so a corpus id that happens to equal a query id cannot collide."""
+    so a corpus id that happens to equal a query id cannot collide.
+
+    ``dedup_normalize``: web corpora repeat the same mention text across
+    millions of pages, and the 53-rule Arrow kernel is the pipeline's
+    single hottest per-row cost — so ``"always"`` runs the kernel once
+    per DISTINCT text and joins the results back (the same row-domain
+    contraction the scoring stage applies to featurization and CCNet
+    applies to LID/LM scoring; output is bit-identical because the
+    kernel is a pure function of the text). ``"auto"`` spends one cheap
+    count/approx-distinct aggregation and contracts when duplication
+    ≥ 2×. ``"never"`` (DEFAULT) keeps the shuffle-free per-row map —
+    measured A/B on the 162,888-page / 24×-duplicated bench workload at
+    local[8] (interleaved best-of-2, fresh JVMs): per-row 7.4 s vs
+    contraction 11.0 s, because the distinct() shuffle of the text
+    column costs more than the vectorized kernel saves on short
+    mention strings. The contraction pays only when per-row kernel
+    cost ≫ shuffle cost per row (long documents, or kernels far
+    heavier than this one) — that regime is exactly CCNet's
+    dedup-before-LM ordering, which plans/webcorpus.py applies at the
+    document level instead."""
+    if dedup_normalize not in ("auto", "always", "never"):
+        raise ValueError(
+            f"dedup_normalize must be 'auto', 'always' or 'never', "
+            f"got {dedup_normalize!r}"
+        )
     df = validate_mentions(df, text_col)
-    df = df.withColumn("_norm", _normalize_udf(F.col(text_col)))
+    contract = dedup_normalize == "always"
+    if dedup_normalize == "auto":
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(text_col).alias("d"),
+        ).first()
+        contract = stats["n"] >= 2 * max(int(stats["d"]), 1)
+    if contract:
+        normed = (
+            df.select(F.col(text_col).alias("_t"))
+            .distinct()
+            .withColumn("_norm", _normalize_udf(F.col("_t")))
+        )
+        df = df.join(normed, df[text_col] == normed["_t"]).drop("_t")
+    else:
+        df = df.withColumn("_norm", _normalize_udf(F.col(text_col)))
     rid = (
         F.xxhash64(F.concat(F.lit(id_domain), F.col(id_col).cast("string")))
         if id_domain
@@ -146,11 +187,13 @@ def normalize_mentions(
     return df
 
 
-def normalize_pages(pages: DataFrame, text_col: str = "text") -> DataFrame:
+def normalize_pages(
+    pages: DataFrame, text_col: str = "text", dedup_normalize: str = "never"
+) -> DataFrame:
     """pages → names with all scoring-side features (url is the identity)."""
-    return normalize_mentions(pages, "url", text_col).withColumnRenamed(
-        "source_id", "url"
-    )
+    return normalize_mentions(
+        pages, "url", text_col, dedup_normalize=dedup_normalize
+    ).withColumnRenamed("source_id", "url")
 
 
 def group_original_names(

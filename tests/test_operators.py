@@ -822,3 +822,27 @@ def test_unknown_channel_raises(spark):
         blocking.generate_blocks(
             names, blocking.BlockingConfig(channels=("prefix", "fonetic"))
         )
+
+
+def test_dedup_normalize_paths_identical(spark):
+    """The distinct-text contraction ('always') is bit-identical to the
+    per-row kernel ('never') — the kernel is a pure function of the text,
+    so only the plan changes. 'auto' picks contraction on this duplicated
+    corpus and must also match. (Default is 'never': the A/B in the
+    operator docstring measured the distinct shuffle costlier than the
+    kernel on short mention strings.)"""
+    pages = fixtures.pages_dataframe(spark, n_companies=20, per_company=3,
+                                     upsample=4)
+    outs = {}
+    for mode in ("never", "always", "auto"):
+        outs[mode] = sorted(
+            map(tuple, normalize.normalize_pages(pages, dedup_normalize=mode)
+                .select("record_id", "url", "name", "cleaned", "norm_key",
+                        "match_key", "entity_type", "has_repeat")
+                .collect())
+        )
+    assert outs["never"] == outs["always"] == outs["auto"]
+    import pytest
+
+    with pytest.raises(ValueError, match="dedup_normalize"):
+        normalize.normalize_pages(pages, dedup_normalize="sometimes")
