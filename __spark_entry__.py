@@ -733,6 +733,54 @@ def docs_decontaminate(spark, sf_dir):
     return dedup.decontaminate(corpus, bench, n=3).orderBy("doc_id")
 
 
+def docs_c4_line_clean(spark, sf_dir):
+    """C4-style line-level cleaning (``textstats.c4_line_clean``, Raffel
+    et al. '20 §2.2): multi-line pages are synthesized by concatenating
+    each source's documents as lines (deterministic punctuation /
+    'javascript' / short-line variation per doc_id; 'lorem ipsum' and
+    '{' planted on two sources), then lines with <5 tokens, without
+    terminal punctuation, or mentioning javascript are dropped in-row,
+    and pages failing the ≥3-surviving-lines / lorem-ipsum / brace rules
+    are flagged dropped. Zero shuffles beyond the one page-assembly
+    groupBy; the DuckDB oracle replays every rule."""
+    from company_name_matching_spark.functions import textstats
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    body = F.when(
+        i % 5 == 0,
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " "),
+    ).otherwise(F.col("text"))
+    line = F.concat(
+        body,
+        F.when(i % 7 == 0, F.lit(" see javascript")).otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.lit(".")).when(i % 3 == 1, F.lit("!")).otherwise(F.lit("")),
+    )
+    pages = (
+        d.select("source", "doc_id", line.alias("line"))
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+        .select(
+            "source",
+            F.when(F.col("source") == "src1",
+                   F.concat(F.col("text"), F.lit("\nlorem ipsum filler text here.")))
+            .when(F.col("source") == "src2",
+                  F.concat(F.col("text"), F.lit("\nconfig { jsonish } block.")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return textstats.c4_line_clean(pages, id_col="source").orderBy("source")
+
+
 def bm25_docs(spark, sf_dir):
     """Distributed Okapi BM25 over documents for a fixed term bag
     (SURVEY.md V4 — explode→join→agg, no in-memory index)."""
@@ -1438,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_extract_text": pages_extract_text,
         "urls_canonical_latest": urls_canonical_latest,
         "docs_decontaminate": docs_decontaminate,
+        "docs_c4_line_clean": docs_c4_line_clean,
         "docs_minhash_neardup": docs_minhash_neardup,
         "docs_simhash_neardup": docs_simhash_neardup,
         "emb_neardup": emb_neardup,

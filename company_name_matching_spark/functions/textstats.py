@@ -517,3 +517,64 @@ def char_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text",
             ).alias("bits_per_bigram"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning (Raffel et al. '20 §2.2)
+# ---------------------------------------------------------------------------
+
+def c4_line_clean(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_tokens: int = 5,
+    require_terminal_punct: bool = True,
+    min_lines: int = 3,
+):
+    """C4 cleaning: keep lines that look like prose, drop pages that don't.
+
+    Line rules (each line judged independently, all in-row — ``split`` on
+    newline, ``filter`` with JVM lambdas, zero shuffle):
+
+    * ≥ ``min_line_tokens`` whitespace tokens;
+    * ends in terminal punctuation (``. ! ? "``) when
+      ``require_terminal_punct``;
+    * does not contain ``javascript`` (case-insensitive).
+
+    Page rules (C4 drops the whole page): fewer than ``min_lines``
+    surviving lines, or the raw text contains ``lorem ipsum`` or ``{``.
+
+    Returns one row per input doc: ``(id, clean_text, n_lines_kept,
+    n_lines_dropped, page_kept)`` — non-destructive so callers can audit
+    what a destructive filter would remove; ``where(page_kept == 1)``
+    + ``clean_text`` is the C4 corpus. The whole operator is a narrow
+    projection: at 10^12 pages it fuses into the extraction scan.
+    """
+    t = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    keep = lambda l: (
+        (F.size(F.array_remove(F.split(l, r"\s+"), "")) >= min_line_tokens)
+        & (
+            l.rlike(r'[.!?"]$')
+            if require_terminal_punct
+            else F.lit(True)
+        )
+        & ~F.lower(l).contains("javascript")
+    )
+    kept = F.filter(lines, keep)
+    n_kept = F.size(kept)
+    page_kept = (
+        (n_kept >= min_lines)
+        & ~F.lower(t).contains("lorem ipsum")
+        & ~t.contains("{")
+    )
+    return docs.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        n_kept.cast("int").alias("n_lines_kept"),
+        (F.size(lines) - n_kept).cast("int").alias("n_lines_dropped"),
+        page_kept.cast("int").alias("page_kept"),
+    )

@@ -836,6 +836,64 @@ def build_oracles() -> dict[str, str]:
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
             WHERE d.doc_id % 41 <> 0 ORDER BY d.doc_id
         """,
+        # C4 line-clean twin: identical page synthesis (per-source line
+        # concatenation ordered by doc_id, planted rule-triggers) and the
+        # identical line/page rules stated in DuckDB lambdas.
+        "docs_c4_line_clean": """
+            WITH ln AS (
+                SELECT source, doc_id,
+                       (CASE WHEN doc_id % 5 = 0
+                             THEN array_to_string(list_slice(
+                                  string_split(text, ' '), 1, 3), ' ')
+                             ELSE text END)
+                       || (CASE WHEN doc_id % 7 = 0
+                                THEN ' see javascript' ELSE '' END)
+                       || (CASE WHEN doc_id % 3 = 0 THEN '.'
+                                WHEN doc_id % 3 = 1 THEN '!'
+                                ELSE '' END) AS line
+                FROM documents
+            ), page AS (
+                SELECT source,
+                       string_agg(line, chr(10) ORDER BY doc_id) AS text
+                FROM ln GROUP BY source
+            ), page2 AS (
+                SELECT source,
+                       CASE WHEN source = 'src1'
+                            THEN text || chr(10)
+                                 || 'lorem ipsum filler text here.'
+                            WHEN source = 'src2'
+                            THEN text || chr(10)
+                                 || 'config { jsonish } block.'
+                            ELSE text END AS text
+                FROM page
+            ), split AS (
+                SELECT source, text,
+                       list_filter(list_transform(
+                           string_split(text, chr(10)), x -> trim(x)),
+                           x -> x <> '') AS lines
+                FROM page2
+            ), judged AS (
+                SELECT source, text, lines,
+                       list_filter(lines, x ->
+                           len(list_filter(string_split(x, ' '),
+                               w -> w <> '')) >= 5
+                           AND regexp_matches(x, '[.!?\"]$')
+                           AND NOT contains(lower(x), 'javascript'))
+                           AS kept
+                FROM split
+            )
+            SELECT source,
+                   coalesce(array_to_string(kept, chr(10)), '')
+                       AS clean_text,
+                   CAST(len(kept) AS INTEGER) AS n_lines_kept,
+                   CAST(len(lines) - len(kept) AS INTEGER)
+                       AS n_lines_dropped,
+                   CAST(CASE WHEN len(kept) >= 3
+                             AND NOT contains(lower(text), 'lorem ipsum')
+                             AND NOT contains(text, '{')
+                             THEN 1 ELSE 0 END AS INTEGER) AS page_kept
+            FROM judged ORDER BY source
+        """,
         "customers_pii_redacted": f"""
             WITH d AS (
                 SELECT c_custkey,

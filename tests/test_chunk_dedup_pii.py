@@ -214,3 +214,59 @@ class TestDecontaminate:
             )
         )
         assert a == b
+
+
+class TestC4LineClean:
+    def test_rules(self, spark):
+        from company_name_matching_spark.functions import textstats
+
+        docs = spark.createDataFrame(
+            [
+                # 4 good lines + 1 short + 1 unpunctuated + 1 javascript
+                (1, "this is a proper sentence one.\n"
+                    "this is a proper sentence two!\n"
+                    "is this a proper sentence three?\n"
+                    'he said "a proper sentence four."\n'
+                    "too short.\n"
+                    "five tokens but no terminal punctuation here\n"
+                    "enable javascript to view this content."),
+                # fails the >=3-surviving-lines page rule
+                (2, "only one proper sentence survives here.\nshort."),
+                # lorem ipsum kills the page even with good lines
+                (3, "this is a proper sentence one.\n"
+                    "this is a proper sentence two.\n"
+                    "this is a proper sentence three.\n"
+                    "lorem ipsum dolor sit amet and more."),
+                # brace kills the page
+                (4, "this is a proper sentence one.\n"
+                    "this is a proper sentence two.\n"
+                    "window.config = { a: 1 } is code.\n"
+                    "this is a proper sentence three."),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in textstats.c4_line_clean(docs).collect()}
+        assert out[1].n_lines_kept == 4 and out[1].n_lines_dropped == 3
+        assert out[1].page_kept == 1
+        assert "javascript" not in out[1].clean_text
+        assert out[2].page_kept == 0 and out[2].n_lines_kept == 1
+        assert out[3].page_kept == 0  # lorem ipsum page rule
+        assert out[4].page_kept == 0  # brace page rule
+        # non-destructive: every input doc present
+        assert set(out) == {1, 2, 3, 4}
+
+    def test_no_terminal_punct_mode(self, spark):
+        from company_name_matching_spark.functions import textstats
+
+        docs = spark.createDataFrame(
+            [(1, "five tokens but no terminal punctuation here\n"
+                 "another line with enough tokens present\n"
+                 "and one more line to clear the page rule")],
+            "doc_id long, text string",
+        )
+        strict = textstats.c4_line_clean(docs).collect()[0]
+        loose = textstats.c4_line_clean(
+            docs, require_terminal_punct=False
+        ).collect()[0]
+        assert strict.n_lines_kept == 0 and strict.page_kept == 0
+        assert loose.n_lines_kept == 3 and loose.page_kept == 1
