@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     # round-5 operators
     "docs_repetition_signals",
     "pages_extract_text",
+    "docs_decontaminate",
+    "docs_c4_line_clean",
 ]
 
 
