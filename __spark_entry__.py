@@ -617,6 +617,64 @@ def docs_source_quota(spark, sf_dir):
     )
 
 
+def docs_temperature_sample(spark, sf_dir):
+    """Temperature-based language rebalancing
+    (``sampling.temperature_sample``, τ=0.5): the multilingual-LLM
+    sampling rule — rare languages keep 100%, common languages keep
+    ``sqrt(n_min/n_lang)``. Every arithmetic step is IEEE-exact
+    (sqrt/div/mul/floor/hex-print), so the DuckDB twin reproduces the
+    per-row keep decision bit-for-bit. One bounded group-count agg +
+    broadcast; the filter is narrow."""
+    from company_name_matching_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        sampling.temperature_sample(d, "doc_id", "lang", tau=0.5, salt="temp")
+        .select(
+            "doc_id", "lang", F.round("sample_rate", 6).alias("rate")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def docs_split_assign(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment
+    (``sampling.split_assign``): one md5 draw per doc bucketed by
+    cumulative cuts — stable under corpus growth (new rows never
+    reassign old ones), zero shuffle. The oracle embeds the identical
+    cut literals."""
+    from company_name_matching_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        sampling.split_assign(
+            d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split"
+        )
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+def docs_lang_quality_gate(spark, sf_dir):
+    """Per-language quality gate (``sampling.keep_top_fraction``): keep
+    the top 9/10 of each language by (quality desc, doc_id) — the
+    "drop the bottom decile per language" filter of a training-data
+    chain. Integer-rational rank cutoff (no float ceil), one shuffle on
+    the language key shared by both window functions."""
+    from company_name_matching_spark.functions import textstats
+    from company_name_matching_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id", "lang",
+        textstats.quality_score(F.col("text")).alias("quality"),
+    )
+    return (
+        sampling.keep_top_fraction(q, "lang", "quality", "doc_id", 9, 10)
+        .orderBy("doc_id")
+    )
+
+
 def docs_pack_assignments(spark, sf_dir):
     """GPT-style sequence packing plan (``pack.pack_assignments``): the
     corpus as one doc_id-ordered token stream cut every 512 tokens. The
@@ -1481,6 +1539,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_pii_redacted": customers_pii_redacted,
         "docs_hash_sample": docs_hash_sample,
         "docs_source_quota": docs_source_quota,
+        "docs_temperature_sample": docs_temperature_sample,
+        "docs_split_assign": docs_split_assign,
+        "docs_lang_quality_gate": docs_lang_quality_gate,
         "docs_pack_assignments": docs_pack_assignments,
         "docs_pack_examples": docs_pack_examples,
         "pages_extract_text": pages_extract_text,

@@ -40,6 +40,11 @@ from company_name_matching_spark.operators.sampling import (  # noqa: E402
 
 # generated from the SAME threshold function the engine filters with
 _sample_threshold = _hex_threshold(0.1)
+# split cuts: the SAME cumulative sums split_assign computes internally
+# (0.8, then 0.8 + 0.1 — the float expression order matters for the
+# literal to match byte-for-byte)
+_split_cut_train = _hex_threshold(0.8)
+_split_cut_val = _hex_threshold(0.8 + 0.1)
 
 
 def _rr(expr: str, pattern: str, repl: str) -> str:
@@ -640,6 +645,50 @@ def build_oracles() -> dict[str, str]:
             FROM documents
             WHERE substring(md5('r5' || CAST(doc_id AS VARCHAR)), 1, 8)
                   < '{_sample_threshold}'
+            ORDER BY doc_id
+        """,
+        # temperature resampling twin: rate = sqrt(n_min/n_lang) —
+        # sqrt/div/mul/floor are IEEE-correctly-rounded in both engines,
+        # so the per-row threshold string is byte-identical
+        "docs_temperature_sample": """
+            WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+            r AS (
+                SELECT lang,
+                       sqrt(CAST((SELECT MIN(n) FROM c) AS DOUBLE)
+                            / CAST(n AS DOUBLE)) AS rate
+                FROM c
+            )
+            SELECT d.doc_id, d.lang, round(r.rate, 6) AS rate
+            FROM documents d JOIN r ON d.lang = r.lang
+            WHERE r.rate >= 1.0
+               OR substring(md5('temp' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                  < printf('%08x', CAST(floor(r.rate * 4294967296.0) AS BIGINT))
+            ORDER BY d.doc_id
+        """,
+        "docs_split_assign": f"""
+            SELECT doc_id,
+                   CASE WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                             < '{_split_cut_train}' THEN 'train'
+                        WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                             < '{_split_cut_val}' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id
+        """,
+        # per-language quality gate twin: integer-rational rank cutoff
+        # (den*rank <= num*n + den-1 <=> rank <= ceil(num*n/den)) — no
+        # float fraction-of-count anywhere
+        "docs_lang_quality_gate": f"""
+            WITH q AS (
+                SELECT doc_id, lang,
+                       ROUND(({rep}) * 0.5 + (1.0 - ({punct})) * 0.3
+                             + ({len_ok}) * 0.2, 6) AS quality
+                FROM documents
+            )
+            SELECT doc_id, lang, quality
+            FROM q
+            QUALIFY 10 * ROW_NUMBER() OVER (
+                        PARTITION BY lang ORDER BY quality DESC, doc_id
+                    ) <= 9 * COUNT(*) OVER (PARTITION BY lang) + 9
             ORDER BY doc_id
         """,
         "docs_source_quota": """

@@ -170,3 +170,93 @@ def test_pack_budget_validation(spark):
     docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         pack.pack_assignments(docs, budget=0)
+
+
+# ---------------------------------------------------------------------------
+# temperature_sample / split_assign / keep_top_fraction (round 5 batch 2)
+# ---------------------------------------------------------------------------
+
+def _skewed(spark):
+    # three groups with 1600/400/100 rows — shares 16:4:1
+    rows = (
+        [(i, "big") for i in range(1600)]
+        + [(i + 10000, "mid") for i in range(400)]
+        + [(i + 20000, "rare") for i in range(100)]
+    )
+    return spark.createDataFrame(rows, "k bigint, g string")
+
+
+def test_temperature_sample_rates_and_determinism(spark):
+    df = _skewed(spark)
+    out = sampling.temperature_sample(df, "k", "g", tau=0.5)
+    kept = out.groupBy("g").count().collect()
+    by_g = {r["g"]: r["count"] for r in kept}
+    # rarest group keeps everything (rate == 1.0)
+    assert by_g["rare"] == 100
+    # expected rates: sqrt(100/400)=0.5, sqrt(100/1600)=0.25; Bernoulli
+    # on md5 bits — allow a generous binomial band
+    assert 160 <= by_g["mid"] <= 240          # 400 * 0.5
+    assert 320 <= by_g["big"] <= 480          # 1600 * 0.25
+    # deterministic: second run identical row set
+    a = {r["k"] for r in out.select("k").collect()}
+    b = {r["k"] for r in
+         sampling.temperature_sample(df, "k", "g", tau=0.5).select("k").collect()}
+    assert a == b
+    # rate column is the per-group constant
+    rates = {r["g"]: r["sample_rate"]
+             for r in out.select("g", "sample_rate").distinct().collect()}
+    assert rates["rare"] == 1.0 and rates["mid"] == 0.5 and rates["big"] == 0.25
+
+
+def test_temperature_sample_tau_1_keeps_everything(spark):
+    df = _skewed(spark)
+    # tau=1 is the identity temperature: every rate is (n_min/n)^0 == 1
+    assert sampling.temperature_sample(df, "k", "g", tau=1.0).count() == df.count()
+
+
+def test_split_assign_disjoint_exhaustive_stable(spark):
+    df = spark.range(0, 3000).withColumnRenamed("id", "k")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = sampling.split_assign(df, "k", fr)
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 3000  # exhaustive, one split per row
+    assert 2250 <= counts["train"] <= 2550
+    assert 200 <= counts["val"] <= 400
+    assert 200 <= counts["test"] <= 400
+    # growth stability: assignments of the first 1000 keys are unchanged
+    # when 2000 more rows exist (pure per-row hash — the defining property)
+    small = sampling.split_assign(
+        spark.range(0, 1000).withColumnRenamed("id", "k"), "k", fr
+    )
+    a = {r["k"]: r["split"] for r in small.collect()}
+    b = {r["k"]: r["split"] for r in out.where(F.col("k") < 1000).collect()}
+    assert a == b
+
+
+def test_split_assign_rejects_single_split(spark):
+    df = spark.range(0, 10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError):
+        sampling.split_assign(df, "k", {"all": 1.0})
+
+
+def test_keep_top_fraction_integer_cutoff_exact(spark):
+    # n=10 per group: float ceil(0.9*10) would keep 10 (binary 9.000…2);
+    # the integer-rational cutoff keeps exactly ceil(9*10/10) == 9
+    rows = [(g, i, float(i)) for g in ("a", "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, k bigint, s double")
+    out = sampling.keep_top_fraction(df, "g", "s", "k", 9, 10)
+    per = {r["g"]: r["count"] for r in out.groupBy("g").count().collect()}
+    assert per == {"a": 9, "b": 9}
+    # the dropped row is the bottom scorer (s == 0)
+    assert out.where(F.col("s") == 0.0).count() == 0
+
+
+def test_keep_top_fraction_small_groups_keep_one(spark):
+    df = spark.createDataFrame([("g", 1, 5.0)], "g string, k bigint, s double")
+    assert sampling.keep_top_fraction(df, "g", "s", "k", 1, 2).count() == 1
+
+
+def test_keep_top_fraction_validates_fraction(spark):
+    df = spark.createDataFrame([("g", 1, 5.0)], "g string, k bigint, s double")
+    with pytest.raises(ValueError):
+        sampling.keep_top_fraction(df, "g", "s", "k", 10, 10)
