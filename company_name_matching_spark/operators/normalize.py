@@ -103,10 +103,49 @@ def validate_mentions(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _with_norm(df: DataFrame, text_col: str, kernel: str) -> DataFrame:
+    """Attach the ``_norm`` struct via the chosen kernel.
+
+    ``kernel="pandas"`` (DEFAULT) is the vectorized Arrow kernel —
+    measured FASTER than the JVM alternative and kept by measurement,
+    not assumption. ``"auto"`` routes rows inside the provably
+    byte-identical safe charset (``vnnorm_jvm.SAFE_TEXT_PATTERN``)
+    through the JVM regexp chain (zero Python workers) and the rest
+    through the pandas kernel, then unions; ``"jvm"`` applies the JVM
+    chain unconditionally (caller asserts safe-charset input).
+
+    Why pandas wins (interleaved fresh-JVM A/B, 217k pages,
+    ``bench_normalize_kernel.json``): best-of-2 normalize-stage 12.1 s
+    pandas vs 18.5 s auto at local[8]; 8.9 vs 30.8 at local[32]. The
+    ~120-rule chain nested as one Column expression exceeds janino's
+    64 KB method limit, so Spark falls back to INTERPRETED evaluation —
+    a per-row tree walk with a UTF8String→String→UTF8String
+    materialization per regexp_replace, which costs far more than one
+    Arrow round-trip into the vectorized kernel (and degrades further
+    at 32 threads where the extra allocations saturate the memory
+    bus). The JVM twin stays available as an executable spec (its
+    differential suite hardens the kernel) and for pure-SQL
+    deployments that cannot run Python workers at all."""
+    from company_name_matching_spark.functions import vnnorm_jvm
+
+    col = F.col(text_col)
+    if kernel == "pandas":
+        return df.withColumn("_norm", _normalize_udf(col))
+    if kernel == "jvm":
+        return df.withColumn("_norm", vnnorm_jvm.normalized_struct(col))
+    safe = vnnorm_jvm.is_jvm_safe(col)
+    jvm = df.where(safe).withColumn(
+        "_norm", vnnorm_jvm.normalized_struct(col)
+    )
+    arrow = df.where(~safe).withColumn("_norm", _normalize_udf(col))
+    return jvm.unionByName(arrow)
+
+
 def normalize_mentions(
     df: DataFrame, id_col: str, text_col: str, keep_cols: tuple[str, ...] = (),
     id_domain: str = "",
     dedup_normalize: str = "never",
+    kernel: str = "pandas",
 ) -> DataFrame:
     """Generic mention normalization: any (id, text) table → normalized
     records with all scoring-side features. One shuffle-free map (or a
@@ -143,6 +182,10 @@ def normalize_mentions(
             f"dedup_normalize must be 'auto', 'always' or 'never', "
             f"got {dedup_normalize!r}"
         )
+    if kernel not in ("auto", "pandas", "jvm"):
+        raise ValueError(
+            f"kernel must be 'auto', 'pandas' or 'jvm', got {kernel!r}"
+        )
     df = validate_mentions(df, text_col)
     contract = dedup_normalize == "always"
     if dedup_normalize == "auto":
@@ -152,14 +195,12 @@ def normalize_mentions(
         ).first()
         contract = stats["n"] >= 2 * max(int(stats["d"]), 1)
     if contract:
-        normed = (
-            df.select(F.col(text_col).alias("_t"))
-            .distinct()
-            .withColumn("_norm", _normalize_udf(F.col("_t")))
+        normed = _with_norm(
+            df.select(F.col(text_col).alias("_t")).distinct(), "_t", kernel
         )
         df = df.join(normed, df[text_col] == normed["_t"]).drop("_t")
     else:
-        df = df.withColumn("_norm", _normalize_udf(F.col(text_col)))
+        df = _with_norm(df, text_col, kernel)
     rid = (
         F.xxhash64(F.concat(F.lit(id_domain), F.col(id_col).cast("string")))
         if id_domain
@@ -188,11 +229,12 @@ def normalize_mentions(
 
 
 def normalize_pages(
-    pages: DataFrame, text_col: str = "text", dedup_normalize: str = "never"
+    pages: DataFrame, text_col: str = "text", dedup_normalize: str = "never",
+    kernel: str = "pandas",
 ) -> DataFrame:
     """pages → names with all scoring-side features (url is the identity)."""
     return normalize_mentions(
-        pages, "url", text_col, dedup_normalize=dedup_normalize
+        pages, "url", text_col, dedup_normalize=dedup_normalize, kernel=kernel
     ).withColumnRenamed("source_id", "url")
 
 
