@@ -675,6 +675,41 @@ def docs_lang_quality_gate(spark, sf_dir):
     )
 
 
+def supplier_pagerank(spark, sf_dir):
+    """Link-authority scoring (``graph.pagerank``): 3 damped
+    power-iteration rounds over the customer→supplier purchase graph
+    (distinct (o_custkey, l_suppkey) pairs; id spaces disambiguated by
+    prefix). Per-edge contributions are 12dp-rounded doubles summed as
+    decimal(38,12) — order-independent, so the DuckDB twin (the same
+    fixed unrolling as chained CTEs) reproduces every rank
+    bit-for-bit. Each round is one equi-join + one hash agg,
+    materialized so the plan never grows with iterations — the same
+    bounded-rounds shape as the connected-components loop."""
+    from company_name_matching_spark.operators import graph
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    return graph.pagerank(edges, iterations=3, damping=0.85).orderBy("id")
+
+
+def source_report_card(spark, sf_dir):
+    """Per-source corpus audit (``textstats.source_report_card``):
+    volume, decimal-accumulated mean quality, exact-dup distinct
+    fraction, language spread — one hash aggregation on the bounded
+    source dim."""
+    from company_name_matching_spark.functions import textstats
+
+    d = _t(spark, sf_dir, "documents")
+    return textstats.source_report_card(d).orderBy("source")
+
+
 def docs_pack_assignments(spark, sf_dir):
     """GPT-style sequence packing plan (``pack.pack_assignments``): the
     corpus as one doc_id-ordered token stream cut every 512 tokens. The
@@ -1540,6 +1575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hash_sample": docs_hash_sample,
         "docs_source_quota": docs_source_quota,
         "docs_temperature_sample": docs_temperature_sample,
+        "supplier_pagerank": supplier_pagerank,
+        "source_report_card": source_report_card,
         "docs_split_assign": docs_split_assign,
         "docs_lang_quality_gate": docs_lang_quality_gate,
         "docs_pack_assignments": docs_pack_assignments,

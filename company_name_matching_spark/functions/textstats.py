@@ -578,3 +578,46 @@ def c4_line_clean(
         (F.size(lines) - n_kept).cast("int").alias("n_lines_dropped"),
         page_kept.cast("int").alias("page_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source corpus report card
+# ---------------------------------------------------------------------------
+
+def source_report_card(docs, group_col: str = "source",
+                       id_col: str = "doc_id", text_col: str = "text"):
+    """One-row-per-source corpus audit — the table a training-data team
+    reads before fixing mixture weights: volume (docs, whitespace
+    tokens, chars), quality (mean of the 6dp per-doc quality score),
+    redundancy (distinct exact-dedup fingerprints / docs), and language
+    spread (distinct langs when the column exists).
+
+    Determinism: the per-doc quality scores are 6dp-rounded doubles;
+    the MEAN accumulates them as ``decimal(18,6)`` (order-independent,
+    unlike a double sum) and divides once at the end — the same
+    decimal-accumulation rule the char-LM scorer uses, so a DuckDB twin
+    reproduces every cell exactly.
+
+    Scale: one hash aggregation on the group key (sources/domains —
+    bounded dim); the fingerprint distinct rides the same aggregation
+    via ``count_distinct``, not a separate shuffle.
+    """
+    cols = set(docs.columns)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col)).cast("bigint")).alias("n_tokens"),
+        F.sum(F.length(text_col).cast("bigint")).alias("n_chars"),
+        F.round(
+            F.sum(quality_score(F.col(text_col)).cast("decimal(18,6)"))
+            .cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality"),
+        F.round(
+            F.count_distinct(fingerprint(F.col(text_col))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("distinct_frac"),
+    ]
+    if "lang" in cols and group_col != "lang":
+        aggs.append(F.count_distinct(F.col("lang")).alias("n_langs"))
+    return docs.groupBy(group_col).agg(*aggs)

@@ -47,6 +47,48 @@ _split_cut_train = _hex_threshold(0.8)
 _split_cut_val = _hex_threshold(0.8 + 0.1)
 
 
+def _pagerank_sql(iterations: int = 3) -> str:
+    """The fixed-unrolling PageRank twin: r0..rN as chained CTEs, same
+    decimal-accumulated 12dp-rounded arithmetic as graph.pagerank (all
+    double ops written with explicit DOUBLE casts so DuckDB cannot
+    quietly use DECIMAL literals and diverge from IEEE)."""
+    d = "CAST(0.85 AS DOUBLE)"
+    ctes = [
+        """e AS (
+            SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                            's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        )""",
+        "nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)",
+        "deg AS (SELECT src, COUNT(*) AS outd FROM e GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        """r0 AS (
+            SELECT id, round(CAST(1.0 AS DOUBLE) / nn.n, 12) AS rank
+            FROM nodes, nn
+        )""",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""r{i} AS (
+            SELECT n.id,
+                   round((CAST(1.0 AS DOUBLE) - {d}) / nn.n
+                         + {d} * CAST(COALESCE(s._in, 0) AS DOUBLE),
+                         12) AS rank
+            FROM nodes n CROSS JOIN nn
+            LEFT JOIN (
+                SELECT e.dst,
+                       SUM(CAST(round(r.rank / dg.outd, 12)
+                                AS DECIMAL(38,12))) AS _in
+                FROM e JOIN r{i - 1} r ON e.src = r.id
+                       JOIN deg dg ON e.src = dg.src
+                GROUP BY e.dst
+            ) s ON n.id = s.dst
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, rank FROM r{iterations} ORDER BY id"
+    )
+
+
 def _rr(expr: str, pattern: str, repl: str) -> str:
     pattern = pattern.replace("'", "''")
     repl = repl.replace("'", "''")
@@ -646,6 +688,24 @@ def build_oracles() -> dict[str, str]:
             WHERE substring(md5('r5' || CAST(doc_id AS VARCHAR)), 1, 8)
                   < '{_sample_threshold}'
             ORDER BY doc_id
+        """,
+        "supplier_pagerank": _pagerank_sql(3),
+        # report-card twin: mean quality decimal-accumulated like the
+        # engine (order-independent sum of 6dp-rounded scores)
+        "source_report_card": f"""
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(len({toks})) AS BIGINT) AS n_tokens,
+                   CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+                   round(CAST(SUM(CAST(
+                       ROUND(({rep}) * 0.5 + (1.0 - ({punct})) * 0.3
+                             + ({len_ok}) * 0.2, 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+                       AS mean_quality,
+                   round(CAST(COUNT(DISTINCT {_fingerprint('text')})
+                              AS DOUBLE) / COUNT(*), 6) AS distinct_frac,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents GROUP BY source ORDER BY source
         """,
         # temperature resampling twin: rate = sqrt(n_min/n_lang) —
         # sqrt/div/mul/floor are IEEE-correctly-rounded in both engines,
