@@ -710,6 +710,17 @@ def source_report_card(spark, sf_dir):
     return textstats.source_report_card(d).orderBy("source")
 
 
+def corpus_top_tokens(spark, sf_dir):
+    """Corpus-wide top-100 token audit (``textstats.top_tokens``):
+    explode → one token-keyed hash agg → TakeOrderedAndProject
+    (per-partition partial top-k + k-row driver merge — no global
+    vocabulary sort). Deterministic lexicographic tie-break."""
+    from company_name_matching_spark.functions import textstats
+
+    d = _t(spark, sf_dir, "documents")
+    return textstats.top_tokens(d, k=100)
+
+
 def docs_pack_assignments(spark, sf_dir):
     """GPT-style sequence packing plan (``pack.pack_assignments``): the
     corpus as one doc_id-ordered token stream cut every 512 tokens. The
@@ -1577,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_temperature_sample": docs_temperature_sample,
         "supplier_pagerank": supplier_pagerank,
         "source_report_card": source_report_card,
+        "corpus_top_tokens": corpus_top_tokens,
         "docs_split_assign": docs_split_assign,
         "docs_lang_quality_gate": docs_lang_quality_gate,
         "docs_pack_assignments": docs_pack_assignments,

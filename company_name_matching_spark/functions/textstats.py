@@ -621,3 +621,31 @@ def source_report_card(docs, group_col: str = "source",
     if "lang" in cols and group_col != "lang":
         aggs.append(F.count_distinct(F.col("lang")).alias("n_langs"))
     return docs.groupBy(group_col).agg(*aggs)
+
+
+def top_tokens(docs, text_col: str = "text", k: int = 100):
+    """Corpus-wide top-``k`` most frequent whitespace tokens of the
+    canonical text — the vocabulary/boilerplate-chrome audit a
+    training-data team runs before tokenizer work (over-represented
+    tokens expose template chrome the dedup channels should be
+    catching). Deterministic: ties break lexicographically.
+
+    Scale shape: explode → one hash aggregation on the token key →
+    ``orderBy(...).limit(k)``, which Spark executes as
+    TakeOrderedAndProject — a per-partition partial top-k followed by a
+    k-row merge on the driver, NEVER a global sort of the vocabulary.
+    """
+    toks = docs.select(
+        F.explode(
+            F.when(
+                canon_text(F.col(text_col)) != "",
+                F.split(canon_text(F.col(text_col)), " "),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(k)
+    )

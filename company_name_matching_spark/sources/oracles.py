@@ -690,6 +690,19 @@ def build_oracles() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "supplier_pagerank": _pagerank_sql(3),
+        "corpus_top_tokens": r"""
+            WITH t AS (
+                SELECT unnest(string_split(
+                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '
+                )) AS token
+                FROM documents
+                WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> ''
+            )
+            SELECT token, COUNT(*) AS n_occurrences
+            FROM t GROUP BY token
+            ORDER BY n_occurrences DESC, token ASC
+            LIMIT 100
+        """,
         # report-card twin: mean quality decimal-accumulated like the
         # engine (order-independent sum of 6dp-rounded scores)
         "source_report_card": f"""
