@@ -39,6 +39,7 @@ import math
 import random
 from dataclasses import dataclass, field
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -120,6 +121,47 @@ def sig_from_hashes_col(hashes_col, cfg: BlockingConfig):
             for (a, b) in cfg.params()
         ]
     )
+
+
+def sig_arrow_kernel(cfg: BlockingConfig):
+    """Arrow-vectorized MinHash signature kernel over an already-computed
+    trigram-hash array column — the long-document fast path of
+    :func:`sig_from_hashes_col` (VERDICT r4 'winnow lesson': the cost of
+    these stages is the interpreted HOF machinery, not the hash math; the
+    bands·rows ``array_min(transform(...))`` passes run the universal-hash
+    arithmetic per element in interpreted mode).
+
+    BIT-IDENTICAL to the JVM form by construction, not by luck: the input
+    hashes are the same JVM ``xxhash64(gram) pmod P`` values (P = 2³¹-1),
+    and each signature row is ``min((a·h + b) mod P)`` in uint64 —
+    ``a·h + b < P² + P < 2⁶⁴`` so numpy's modulo is exact, and both
+    operands are nonnegative so ``%`` == ``pmod``. A null hash array maps
+    to the JVM's ``F.array(array_min(transform(null)), ...)`` = a
+    signature of nulls. Signature-equality across both engines is
+    pytest-asserted on the fixtures corpus.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    params = cfg.params()
+    k = len(params)
+    A = np.array([a for a, _ in params], dtype=np.uint64).reshape(-1, 1)
+    B = np.array([b for _, b in params], dtype=np.uint64).reshape(-1, 1)
+    P = np.uint64(_MERSENNE31)
+
+    def _one(arr):
+        if arr is None:
+            return [None] * k
+        h = np.asarray(arr, dtype=np.uint64)
+        if h.shape[0] == 0:  # unreachable via trigram_hashes_col (≥1 gram)
+            return [None] * k
+        return ((A * h + B) % P).min(axis=1).astype(np.int64).tolist()
+
+    @pandas_udf("array<long>")
+    def _sig(th: pd.Series) -> pd.Series:
+        return th.map(_one)
+
+    return _sig
 
 
 def minhash_signature_col(col, cfg: BlockingConfig):

@@ -85,6 +85,59 @@ def test_minhash_pairs_find_neardups(spark, docs):
     assert (1, 4) not in pairs and (3, 4) not in pairs
 
 
+def test_minhash_arrow_kernel_bit_identical(spark):
+    """The Arrow signature kernel is BIT-identical to the JVM HOF form —
+    same trigram hashes in, same universal-hash integer arithmetic — on a
+    corpus covering Vietnamese unicode, short/empty-ish strings, and long
+    repetitive text; and minhash_pairs produces the identical pair set
+    under both kernels (it must: identical signatures ⇒ identical bands ⇒
+    identical candidates ⇒ same exact-Jaccard verify)."""
+    from company_name_matching_spark.operators import blocking
+
+    texts = [
+        "công ty tnhh thương mại dịch vụ sài gòn",
+        "CÔNG TY  TNHH thương mại dịch vụ sài gòn",  # case/ws near-dup of 0
+        "x",  # shorter than one trigram → single truncated gram
+        "ab",
+        "the quick brown fox " * 50,  # long, repetitive
+        "ᚠᛇᚻ᛫ᛗᛣ unicode ᚠᛇᚻ",
+        " ",  # canonicalizes toward empty
+    ]
+    rows = [(i, t, "vi", "s", len(t)) for i, t in enumerate(texts)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).select(
+        "doc_id",
+        F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")).alias("ctext"),
+    )
+    cfg = blocking.BlockingConfig(minhash_bands=8, minhash_rows=4)
+    th = blocking.trigram_hashes_col(F.col("ctext"))
+    both = d.select(
+        "doc_id",
+        blocking.sig_from_hashes_col(th, cfg).alias("sig_jvm"),
+        blocking.sig_arrow_kernel(cfg)(th).alias("sig_arrow"),
+    ).collect()
+    for r in both:
+        assert r["sig_jvm"] == r["sig_arrow"], (
+            f"doc {r['doc_id']}: {r['sig_jvm']} != {r['sig_arrow']}"
+        )
+
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    p_arrow = {
+        (r["left_id"], r["right_id"], r["jaccard"])
+        for r in dedup.minhash_pairs(docs, threshold=0.5, kernel="arrow").collect()
+    }
+    p_jvm = {
+        (r["left_id"], r["right_id"], r["jaccard"])
+        for r in dedup.minhash_pairs(docs, threshold=0.5, kernel="jvm").collect()
+    }
+    assert p_arrow == p_jvm and (0, 1) in {(a, b) for a, b, _ in p_arrow}
+    with pytest.raises(ValueError):
+        dedup.minhash_pairs(docs, kernel="simd")
+
+
 def test_multimodal_resize_and_frame_sampling(spark):
     """Resize = real 2x2 mean-pooling over the deterministic fake decode;
     frame sampling picks every k-th fake frame with per-frame means — both
