@@ -1543,6 +1543,153 @@ def er_cluster_jaccard_docs(spark, sf_dir):
     )
 
 
+def fs_match_parts(spark, sf_dir):
+    """Fellegi–Sunter probabilistic linkage over blocked part-name pairs:
+    candidate pairs from the real contracted blocking machinery (prefix
+    channel, 1 sorted token, caps disabled so the pair set is exactly
+    'share the first sorted token' — SQL-expressible), then discrete
+    agreement levels and the decimal-literal log2(m/u) weight sum
+    (problink.py). The oracle replays every level decision (integer
+    cross-multiplied bands) and sums the IDENTICAL weight literals, so a
+    single flipped band or drifted weight anywhere turns this red."""
+    from company_name_matching_spark.operators import blocking, normalize, problink
+
+    p = _t(spark, sf_dir, "part")
+    names = normalize.normalize_mentions(
+        p.select(F.col("p_partkey").cast("string").alias("pid"),
+                 F.col("p_name").alias("nm")),
+        "pid", "nm",
+    )
+    cfg = blocking.BlockingConfig(
+        channels=("prefix",), prefix_tokens=1, max_block_size=10**6
+    )
+    cand = blocking.candidate_pairs(names, cfg)
+    feat = names.select(
+        "record_id", "match_key", "tokens",
+        F.col("source_id").cast("long").alias("pk"),
+    )
+    pr = (
+        cand.join(
+            feat.select(F.col("record_id").alias("left_id"),
+                        F.col("match_key").alias("l_match_key"),
+                        F.col("tokens").alias("l_tokens"),
+                        F.col("pk").alias("l_pk")),
+            "left_id",
+        )
+        .join(
+            feat.select(F.col("record_id").alias("right_id"),
+                        F.col("match_key").alias("r_match_key"),
+                        F.col("tokens").alias("r_tokens"),
+                        F.col("pk").alias("r_pk")),
+            "right_id",
+        )
+    )
+    scored = problink.fs_score_pairs(problink.comparison_levels(pr))
+    # engine pair orientation is record-hash order; project to the
+    # cross-engine-comparable (min, max) partkey orientation — every
+    # level and the weight are symmetric, so orientation is free
+    return scored.select(
+        F.least("l_pk", "r_pk").alias("pk_l"),
+        F.greatest("l_pk", "r_pk").alias("pk_r"),
+        "key_exact", "jaccard_band", "first_token", "len_band",
+        "fs_weight", "decision",
+    ).orderBy("pk_l", "pk_r")
+
+
+def fs_u_probs_parts(spark, sf_dir):
+    """u-probability estimation (chance agreement among non-matches) via
+    problink.estimate_u's deterministic shifted pairing — record i paired
+    with i+1..i+3 in p_partkey order, agreement-level rates per field.
+    The oracle replays the exact modulo pairing with generate_series."""
+    from company_name_matching_spark.operators import normalize, problink
+
+    p = _t(spark, sf_dir, "part")
+    names = normalize.normalize_mentions(
+        p.select(F.col("p_partkey").cast("string").alias("pid"),
+                 F.col("p_name").alias("nm")),
+        "pid", "nm",
+    )
+    df = names.select(
+        F.col("source_id").cast("long").alias("pk"), "match_key", "tokens"
+    )
+    return problink.estimate_u(df, k=3, order_col="pk").orderBy(
+        "field", "level"
+    )
+
+
+def er_bcubed_parts(spark, sf_dir):
+    """B-cubed extrinsic cluster evaluation (clustering.bcubed): predicted
+    clusters = exact match-key groups (the provably-correct exact ER on
+    part names, same domain facts as er_cluster_exact_parts), gold
+    partition = p_brand. A real fractional metric computation — cell
+    contingency factoring, decimal-accumulated 9dp contributions — whose
+    every rounding step the DuckDB twin replays."""
+    from company_name_matching_spark.operators import clustering, normalize
+
+    p = _t(spark, sf_dir, "part")
+    names = normalize.normalize_mentions(
+        p.select(F.col("p_partkey").cast("string").alias("pid"),
+                 F.col("p_name").alias("nm")),
+        "pid", "nm",
+    )
+    assignments = names.select(
+        "record_id", F.col("match_key").alias("pred"),
+        F.col("source_id").cast("long").alias("pk"),
+    ).join(
+        p.select(F.col("p_partkey").alias("pk"),
+                 F.col("p_brand").alias("gold")),
+        "pk",
+    )
+    return clustering.bcubed(
+        assignments, record_col="record_id", pred_col="pred", gold_col="gold"
+    )
+
+
+def parts_metablocking(spark, sf_dir):
+    """Meta-blocking with Weighted Node Pruning (blocking.metablock_prune):
+    two SQL-expressible key channels (first sorted token; first 4 chars of
+    the space-stripped match key), CBS pair weights, exact integer
+    node-mean pruning. The oracle rebuilds the block graph quadratically
+    and applies the identical integer rule."""
+    from company_name_matching_spark.operators import blocking, normalize
+
+    p = _t(spark, sf_dir, "part")
+    names = normalize.normalize_mentions(
+        p.select(F.col("p_partkey").cast("string").alias("pid"),
+                 F.col("p_name").alias("nm")),
+        "pid", "nm",
+    )
+    blocks = names.select(
+        "record_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("t:"), F.sort_array("tokens")[0]),
+                F.concat(
+                    F.lit("p4:"),
+                    F.substring(
+                        F.replace(F.col("match_key"), F.lit(" "), F.lit("")),
+                        1, 4,
+                    ),
+                ),
+            )
+        ).alias("block_key"),
+    )
+    kept = blocking.metablock_prune(blocks)
+    ids = names.select("record_id", F.col("source_id").cast("long").alias("pk"))
+    return (
+        kept.join(ids.withColumnRenamed("record_id", "left_id")
+                  .withColumnRenamed("pk", "l_pk"), "left_id")
+        .join(ids.withColumnRenamed("record_id", "right_id")
+              .withColumnRenamed("pk", "r_pk"), "right_id")
+        .select(
+            F.least("l_pk", "r_pk").alias("pk_l"),
+            F.greatest("l_pk", "r_pk").alias("pk_r"),
+            "weight",
+        )
+        .orderBy("pk_l", "pk_r")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return er_cluster_parts(spark, "/root/testdata/sf0.001")
@@ -1618,6 +1765,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_cluster_exact_parts": er_cluster_exact_parts,
         "er_cluster_jaccard_docs": er_cluster_jaccard_docs,
         "er_invariants_parts": er_invariants_parts,
+        "fs_match_parts": fs_match_parts,
+        "fs_u_probs_parts": fs_u_probs_parts,
+        "er_bcubed_parts": er_bcubed_parts,
+        "parts_metablocking": parts_metablocking,
     }
 
 

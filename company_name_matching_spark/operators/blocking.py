@@ -514,3 +514,76 @@ def candidate_pairs(
         "right_id",
     )
     return cross.unionByName(within)
+
+
+def pair_block_weights(
+    blocks: DataFrame, cfg: BlockingConfig | None = None
+) -> DataFrame:
+    """blocks(record_id, block_key) → (left_id, right_id, weight) where
+    weight = CBS, the number of blocks the pair co-occurs in (Papadakis
+    et al., "Comparison-Based Blocking" weighting). The per-block pair
+    expansion is the same fused collect_set shape as
+    :func:`candidate_pairs_record_level`; the weight falls out of the
+    pair-dedup aggregation that plan already pays — CBS is free.
+
+    Pass ``cfg`` to apply :func:`filter_blocks` first (size floor + hot-
+    block cap); None runs exact (every block participates), the oracle
+    configuration."""
+    if cfg is not None:
+        from company_name_matching_spark.sources.store import materialize
+
+        blocks = filter_blocks(materialize(blocks, "mb_blocks"), cfg)
+    grp = blocks.groupBy("block_key").agg(
+        F.sort_array(F.collect_set("record_id")).alias("_ids")
+    )
+    return _pair_expand(grp, "_ids", "left_id", "right_id").groupBy(
+        "left_id", "right_id"
+    ).agg(F.count(F.lit(1)).alias("weight"))
+
+
+def metablock_prune(
+    blocks: DataFrame, cfg: BlockingConfig | None = None
+) -> DataFrame:
+    """Meta-blocking with Weighted Node Pruning (Papadakis et al., TKDE'14):
+    keep a candidate pair iff its co-occurrence weight is ≥ the mean
+    incident-pair weight of AT LEAST ONE of its two records. Redundancy-
+    positional intuition: a pair sharing several independent block keys is
+    far likelier to match than one thrown together by a single generic
+    key, and each record's own weight distribution calibrates "several" —
+    no global tuning constant, which is what makes it deployable on a
+    10^12-page crawl where block-size folklore breaks.
+
+    The mean comparison is exact INTEGER arithmetic
+    (w ≥ sum/cnt ⇔ w·cnt ≥ sum), so the decision is bit-portable — a
+    float mean would eventually flip a boundary pair between engines.
+
+    Plan: the pair-weight table (one agg over the block expansion), one
+    agg over its unpivoted endpoints (2 rows/pair), two equi-joins back.
+    Everything is key-partitioned; per-node state is two longs.
+    Output: (left_id, right_id, weight) — the surviving comparisons.
+    """
+    from company_name_matching_spark.sources.store import materialize
+
+    w = materialize(pair_block_weights(blocks, cfg), "mb_weights")
+    ends = w.select(F.col("left_id").alias("_id"), "weight").unionByName(
+        w.select(F.col("right_id").alias("_id"), "weight")
+    )
+    stats = ends.groupBy("_id").agg(
+        F.sum("weight").alias("_wsum"), F.count(F.lit(1)).alias("_wcnt")
+    )
+    ls = stats.select(
+        F.col("_id").alias("left_id"),
+        F.col("_wsum").alias("_lsum"), F.col("_wcnt").alias("_lcnt"),
+    )
+    rs = stats.select(
+        F.col("_id").alias("right_id"),
+        F.col("_wsum").alias("_rsum"), F.col("_wcnt").alias("_rcnt"),
+    )
+    return (
+        w.join(ls, "left_id").join(rs, "right_id")
+        .where(
+            (F.col("weight") * F.col("_lcnt") >= F.col("_lsum"))
+            | (F.col("weight") * F.col("_rcnt") >= F.col("_rsum"))
+        )
+        .select("left_id", "right_id", "weight")
+    )

@@ -206,3 +206,79 @@ def cluster_matches(matches: DataFrame, names: DataFrame,
         )
     )
     return attach_singletons(expanded, names), rounds
+
+
+def bcubed(
+    assignments: DataFrame,
+    record_col: str = "record_id",
+    pred_col: str = "cluster_id",
+    gold_col: str = "gold_id",
+) -> DataFrame:
+    """B-cubed extrinsic cluster evaluation (Bagga & Baldwin '98) —
+    the standard ER clustering metric alongside pairwise F1 (which
+    ``er_f1_labeled`` already covers): per-record precision
+    |C(i)∩L(i)|/|C(i)| and recall |C(i)∩L(i)|/|L(i)| averaged over
+    records, where C = predicted cluster and L = gold label set. Unlike
+    pairwise F1 it doesn't over-weight large clusters quadratically.
+
+    One row out: (n_records, bcubed_precision, bcubed_recall, bcubed_f1).
+
+    Distributed shape: the record-level sums factor through the
+    (pred, gold) contingency cells — sum_i P_i = Σ_cells c²/|C| — so the
+    plan is one hash agg to the cell table (bounded by #clusters×#labels
+    actually co-occurring, ≪ records), two bounded size dims joined back
+    (AQE broadcasts them), and a final scalar agg. Nothing is ever
+    per-pair; this evaluates a trillion-record clustering with one
+    shuffle of the assignment table.
+
+    Cross-engine determinism: per-cell contributions are 9dp-rounded
+    doubles summed as DECIMAL(38,9) (order-independent — the PageRank
+    pattern), the final means rounded to 6dp; F1 is derived from the two
+    already-rounded means, so every engine computes it from identical
+    operands. Records with a NULL pred or gold are a contract violation
+    and raise (a silent drop would inflate both scores).
+    """
+    a = assignments.select(
+        F.col(record_col).alias("_r"),
+        F.col(pred_col).alias("_p"),
+        F.col(gold_col).alias("_g"),
+    )
+    a = a.withColumn(
+        "_p",
+        F.when(
+            F.col("_p").isNull() | F.col("_g").isNull(),
+            F.raise_error(F.lit("bcubed: NULL cluster or gold label")),
+        ).otherwise(F.col("_p")),
+    )
+    cells = a.groupBy("_p", "_g").agg(F.count(F.lit(1)).alias("_c"))
+    psz = cells.groupBy("_p").agg(F.sum("_c").alias("_np"))
+    gsz = cells.groupBy("_g").agg(F.sum("_c").alias("_ng"))
+    contrib = (
+        cells.join(psz, "_p").join(gsz, "_g")
+        .select(
+            F.col("_c"),
+            F.round(
+                (F.col("_c") * F.col("_c")).cast("double") / F.col("_np"), 9
+            ).cast("decimal(38,9)").alias("_pc"),
+            F.round(
+                (F.col("_c") * F.col("_c")).cast("double") / F.col("_ng"), 9
+            ).cast("decimal(38,9)").alias("_rc"),
+        )
+    )
+    out = contrib.agg(
+        F.sum("_c").alias("n_records"),
+        F.round(
+            F.sum("_pc").cast("double") / F.sum("_c"), 6
+        ).alias("bcubed_precision"),
+        F.round(
+            F.sum("_rc").cast("double") / F.sum("_c"), 6
+        ).alias("bcubed_recall"),
+    )
+    return out.withColumn(
+        "bcubed_f1",
+        F.round(
+            F.lit(2.0) * F.col("bcubed_precision") * F.col("bcubed_recall")
+            / (F.col("bcubed_precision") + F.col("bcubed_recall")),
+            6,
+        ),
+    )

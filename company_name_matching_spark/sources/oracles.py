@@ -89,6 +89,27 @@ def _pagerank_sql(iterations: int = 3) -> str:
     )
 
 
+from company_name_matching_spark.operators.problink import (  # noqa: E402
+    FIELDS as _FS_FIELDS,
+    FSConfig as _FSConfig,
+)
+
+# generated from the SAME m/u table + literal-weight renderer the engine's
+# fs_score_pairs embeds in its plan, so the oracle can never drift
+_fs_weights = _FSConfig().weights()
+
+
+def _fs_weight_sql() -> str:
+    terms = []
+    for f_ in _FS_FIELDS:
+        cases = " ".join(
+            f"WHEN {lvl} THEN CAST('{lit}' AS DECIMAL(18,6))"
+            for lvl, lit in sorted(_fs_weights[f_].items())
+        )
+        terms.append(f"(CASE {f_} {cases} END)")
+    return " + ".join(terms)
+
+
 def _rr(expr: str, pattern: str, repl: str) -> str:
     pattern = pattern.replace("'", "''")
     repl = repl.replace("'", "''")
@@ -1604,5 +1625,179 @@ def build_oracles() -> dict[str, str]:
                   FROM cc GROUP BY cluster_rep) s
             USING (cluster_rep)
             ORDER BY c.p_partkey
+        """,
+        # Fellegi–Sunter over first-sorted-token blocks: every agreement
+        # band is integer cross-multiplied, every weight the IDENTICAL
+        # 6dp decimal literal the engine embeds (generated above from the
+        # same FSConfig), so the decimal sum is bit-equal by construction.
+        "fs_match_parts": f"""
+            WITH t AS (
+                SELECT p_partkey AS pk, {clean_name_sql('p_name')} AS mk
+                FROM part
+            ),
+            f AS (
+                SELECT pk, mk,
+                       list_distinct(regexp_split_to_array(mk, '\\s+')) AS dt
+                FROM t WHERE mk <> ''
+            ),
+            pr0 AS (
+                SELECT l.pk AS pk_l, r.pk AS pk_r,
+                       l.mk AS lmk, r.mk AS rmk, l.dt AS ldt, r.dt AS rdt,
+                       len(l.dt) + len(r.dt)
+                         - len(list_distinct(l.dt || r.dt)) AS i,
+                       len(list_distinct(l.dt || r.dt)) AS u
+                FROM f l JOIN f r
+                  ON list_sort(l.dt)[1] = list_sort(r.dt)[1] AND l.pk < r.pk
+            ),
+            pr AS (
+                SELECT pk_l, pk_r,
+                       CAST(lmk = rmk AS INT) AS key_exact,
+                       CAST(CASE WHEN 5 * i >= 4 * u THEN 2
+                                 WHEN 2 * i >= u THEN 1
+                                 ELSE 0 END AS INT) AS jaccard_band,
+                       CAST(list_sort(ldt)[1] = list_sort(rdt)[1] AS INT)
+                         AS first_token,
+                       CAST(abs(length(lmk) - length(rmk)) <= 2 AS INT)
+                         AS len_band
+                FROM pr0
+            ),
+            w AS (
+                SELECT *, CAST({_fs_weight_sql()} AS DOUBLE) AS fs_weight
+                FROM pr
+            )
+            SELECT CAST(pk_l AS BIGINT) AS pk_l, CAST(pk_r AS BIGINT) AS pk_r,
+                   key_exact, jaccard_band, first_token, len_band, fs_weight,
+                   CASE WHEN fs_weight >= 10.0 THEN 'match'
+                        WHEN fs_weight >= 0.0 THEN 'possible'
+                        ELSE 'nonmatch' END AS decision
+            FROM w ORDER BY pk_l, pk_r
+        """,
+        # estimate_u's deterministic shifted pairing: row i × rows i+1..i+3
+        # cyclically in p_partkey order — the exact modulo join the engine
+        # runs, replayed with generate_series.
+        "fs_u_probs_parts": f"""
+            WITH t AS (
+                SELECT p_partkey AS pk, {clean_name_sql('p_name')} AS mk
+                FROM part
+            ),
+            f AS (
+                SELECT pk, mk,
+                       list_distinct(regexp_split_to_array(mk, '\\s+')) AS dt
+                FROM t WHERE mk <> ''
+            ),
+            rn AS (
+                SELECT pk, mk, dt,
+                       ROW_NUMBER() OVER (ORDER BY pk) - 1 AS rn
+                FROM f
+            ),
+            nn AS (SELECT COUNT(*) AS n FROM rn),
+            pairs AS (
+                SELECT l.mk AS lmk, r.mk AS rmk, l.dt AS ldt, r.dt AS rdt
+                FROM rn l
+                CROSS JOIN nn
+                CROSS JOIN generate_series(1, 3) AS s(shift)
+                JOIN rn r ON ((l.rn + s.shift) % nn.n) = r.rn
+            ),
+            lv AS (
+                SELECT CAST(lmk = rmk AS INT) AS key_exact,
+                       CAST(CASE WHEN 5 * (len(ldt) + len(rdt)
+                                   - len(list_distinct(ldt || rdt)))
+                                 >= 4 * len(list_distinct(ldt || rdt)) THEN 2
+                                 WHEN 2 * (len(ldt) + len(rdt)
+                                   - len(list_distinct(ldt || rdt)))
+                                 >= len(list_distinct(ldt || rdt)) THEN 1
+                                 ELSE 0 END AS INT) AS jaccard_band,
+                       CAST(list_sort(ldt)[1] = list_sort(rdt)[1] AS INT)
+                         AS first_token,
+                       CAST(abs(length(lmk) - length(rmk)) <= 2 AS INT)
+                         AS len_band
+                FROM pairs
+            ),
+            stacked AS (
+                SELECT 'key_exact' AS field, key_exact AS level FROM lv
+                UNION ALL
+                SELECT 'jaccard_band', jaccard_band FROM lv
+                UNION ALL
+                SELECT 'first_token', first_token FROM lv
+                UNION ALL
+                SELECT 'len_band', len_band FROM lv
+            )
+            SELECT field, CAST(level AS INT) AS level,
+                   round(CAST(COUNT(*) AS DOUBLE)
+                         / (SELECT n * 3 FROM nn), 6) AS u,
+                   COUNT(*) AS n_pairs
+            FROM stacked GROUP BY field, level ORDER BY field, level
+        """,
+        # B-cubed via the (pred, gold) contingency factoring — per-cell
+        # 9dp-rounded double contributions summed as DECIMAL(38,9), means
+        # rounded 6dp, F1 from the already-rounded means (same steps, same
+        # order as clustering.bcubed).
+        "er_bcubed_parts": f"""
+            WITH a AS (
+                SELECT p_partkey AS pk, {clean_name_sql('p_name')} AS pred,
+                       p_brand AS gold
+                FROM part
+                WHERE {clean_name_sql('p_name')} <> ''
+            ),
+            cells AS (
+                SELECT pred, gold, COUNT(*) AS c FROM a GROUP BY pred, gold
+            ),
+            ps AS (SELECT pred, SUM(c) AS np FROM cells GROUP BY pred),
+            gs AS (SELECT gold, SUM(c) AS ng FROM cells GROUP BY gold),
+            con AS (
+                SELECT c.c,
+                       CAST(round(CAST(c.c * c.c AS DOUBLE) / ps.np, 9)
+                            AS DECIMAL(38,9)) AS pc,
+                       CAST(round(CAST(c.c * c.c AS DOUBLE) / gs.ng, 9)
+                            AS DECIMAL(38,9)) AS rc
+                FROM cells c JOIN ps USING (pred) JOIN gs USING (gold)
+            ),
+            agg AS (
+                SELECT CAST(SUM(c) AS BIGINT) AS n_records,
+                       round(CAST(SUM(pc) AS DOUBLE) / SUM(c), 6)
+                         AS bcubed_precision,
+                       round(CAST(SUM(rc) AS DOUBLE) / SUM(c), 6)
+                         AS bcubed_recall
+                FROM con
+            )
+            SELECT n_records, bcubed_precision, bcubed_recall,
+                   round(2.0 * bcubed_precision * bcubed_recall
+                         / (bcubed_precision + bcubed_recall), 6) AS bcubed_f1
+            FROM agg
+        """,
+        # Meta-blocking WNP: CBS weights from the quadratic block graph,
+        # pruning by exact integer node means (w·cnt ≥ sum) — the engine's
+        # rule verbatim.
+        "parts_metablocking": f"""
+            WITH t AS (
+                SELECT p_partkey AS pk, {clean_name_sql('p_name')} AS mk
+                FROM part
+            ),
+            f AS (
+                SELECT pk, mk,
+                       list_distinct(regexp_split_to_array(mk, '\\s+')) AS dt
+                FROM t WHERE mk <> ''
+            ),
+            keys AS (
+                SELECT pk, 't:' || list_sort(dt)[1] AS bk FROM f
+                UNION ALL
+                SELECT pk, 'p4:' || substr(replace(mk, ' ', ''), 1, 4) FROM f
+            ),
+            pw AS (
+                SELECT l.pk AS a, r.pk AS b, COUNT(*) AS w
+                FROM keys l JOIN keys r ON l.bk = r.bk AND l.pk < r.pk
+                GROUP BY l.pk, r.pk
+            ),
+            ns AS (
+                SELECT id, SUM(w) AS s, COUNT(*) AS c
+                FROM (SELECT a AS id, w FROM pw
+                      UNION ALL SELECT b AS id, w FROM pw) e
+                GROUP BY id
+            )
+            SELECT CAST(pw.a AS BIGINT) AS pk_l, CAST(pw.b AS BIGINT) AS pk_r,
+                   pw.w AS weight
+            FROM pw JOIN ns na ON na.id = pw.a JOIN ns nb ON nb.id = pw.b
+            WHERE pw.w * na.c >= na.s OR pw.w * nb.c >= nb.s
+            ORDER BY pk_l, pk_r
         """,
     }

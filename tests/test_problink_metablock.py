@@ -1,0 +1,208 @@
+"""Unit tests: Fellegi–Sunter linkage, B-cubed evaluation, meta-blocking.
+
+The exact-value cross-engine checks live in test_entry_oracles
+(fs_match_parts / fs_u_probs_parts / er_bcubed_parts / parts_metablocking);
+these cover the hand-computable semantics and the loud-failure contracts.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from company_name_matching_spark.operators import problink
+from company_name_matching_spark.operators.blocking import (
+    metablock_prune,
+    pair_block_weights,
+)
+from company_name_matching_spark.operators.clustering import bcubed
+
+PAIR_SCHEMA = (
+    "l_match_key string, r_match_key string, "
+    "l_tokens array<string>, r_tokens array<string>"
+)
+
+
+def _score(spark, rows):
+    df = spark.createDataFrame(rows, PAIR_SCHEMA)
+    return problink.fs_score_pairs(problink.comparison_levels(df))
+
+
+class TestFellegiSunter:
+    def test_full_agreement_weight_is_literal_sum(self, spark):
+        row = _score(
+            spark,
+            [("cong ty abc", "cong ty abc",
+              ["cong", "ty", "abc"], ["cong", "ty", "abc"])],
+        ).first()
+        w = problink.FSConfig().weights()
+        expected = sum(
+            float(w[f][1 if f != "jaccard_band" else 2])
+            for f in problink.FIELDS
+        )
+        assert row["key_exact"] == 1
+        assert row["jaccard_band"] == 2
+        assert row["first_token"] == 1
+        assert row["len_band"] == 1
+        assert row["fs_weight"] == pytest.approx(expected, abs=1e-9)
+        assert row["decision"] == "match"
+
+    def test_levels_are_symmetric(self, spark):
+        l = ("alpha beta co", ["alpha", "beta", "co"])
+        r = ("alpha gamma co ltd", ["alpha", "gamma", "co", "ltd"])
+        a = _score(spark, [(l[0], r[0], l[1], r[1])]).first()
+        b = _score(spark, [(r[0], l[0], r[1], l[1])]).first()
+        for c in (*problink.FIELDS, "fs_weight", "decision"):
+            assert a[c] == b[c], c
+
+    def test_jaccard_band_boundaries_exact(self, spark):
+        # |∩|=4, |∪|=5 → 5·4 ≥ 4·5 → band 2 (exactly 0.8); |∩|=1, |∪|=2
+        # → band 1 (exactly 0.5) — integer rule, no float boundary drift
+        rows = [
+            ("a b c d", "a b c d e",
+             ["a", "b", "c", "d"], ["a", "b", "c", "d", "e"]),
+            ("a b", "a", ["a", "b"], ["a"]),
+        ]
+        got = [r["jaccard_band"] for r in
+               _score(spark, rows).orderBy(F.length("l_match_key").desc()).collect()]
+        assert got == [2, 1]
+
+    def test_unmapped_level_raises(self, spark):
+        df = spark.createDataFrame(
+            [(7, 0, 0, 0)],
+            "key_exact int, jaccard_band int, first_token int, len_band int",
+        )
+        with pytest.raises(Exception, match="m/u table"):
+            problink.fs_score_pairs(df).collect()
+
+    def test_bad_mu_rejected(self):
+        cfg = problink.FSConfig()
+        cfg.mu["key_exact"][1] = (0.0, 0.5)
+        with pytest.raises(ValueError, match="m/u must be"):
+            cfg.weights()
+
+    def test_estimate_u_counts_partition_all_pairs(self, spark):
+        names = spark.createDataFrame(
+            [(i, f"name {i} co", ["name", str(i), "co"]) for i in range(10)],
+            "source_id long, match_key string, tokens array<string>",
+        )
+        u = problink.estimate_u(names, k=3)
+        per_field = {
+            r["field"]: r["total"]
+            for r in u.groupBy("field")
+            .agg(F.sum("n_pairs").alias("total")).collect()
+        }
+        assert per_field == {f: 30 for f in problink.FIELDS}
+
+    def test_estimate_u_validation(self, spark):
+        names = spark.createDataFrame(
+            [(1, "a", ["a"])],
+            "source_id long, match_key string, tokens array<string>",
+        )
+        with pytest.raises(ValueError, match="k must be"):
+            problink.estimate_u(names, k=0)
+        with pytest.raises(ValueError, match="sample_fraction"):
+            problink.estimate_u(names, k=1, sample_fraction=1.5)
+        with pytest.raises(ValueError, match="need ≥ 2"):
+            problink.estimate_u(names, k=1)
+
+
+class TestBcubed:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "record_id long, cluster_id string, gold_id string"
+        )
+
+    def test_perfect_clustering_is_one(self, spark):
+        rows = [(i, f"c{i % 3}", f"g{i % 3}") for i in range(9)]
+        r = bcubed(self._df(spark, rows)).first()
+        assert (r["bcubed_precision"], r["bcubed_recall"], r["bcubed_f1"]) == (
+            1.0, 1.0, 1.0,
+        )
+        assert r["n_records"] == 9
+
+    def test_hand_computed_overmerge(self, spark):
+        # one predicted cluster over gold groups of 2 and 3:
+        # precision = (2²/5 + 3²/5)/5 = 0.52, recall = 1.0,
+        # f1 = 1.04/1.52 = 0.684211 (6dp)
+        rows = [(i, "all", "g1" if i < 2 else "g2") for i in range(5)]
+        r = bcubed(self._df(spark, rows)).first()
+        assert r["bcubed_precision"] == 0.52
+        assert r["bcubed_recall"] == 1.0
+        assert r["bcubed_f1"] == 0.684211
+
+    def test_null_label_raises(self, spark):
+        rows = [(1, "c", "g"), (2, "c", None)]
+        with pytest.raises(Exception, match="NULL cluster or gold"):
+            bcubed(self._df(spark, rows)).collect()
+
+
+def _blocks(spark, mapping):
+    rows = [(rid, bk) for bk, ids in mapping.items() for rid in ids]
+    return spark.createDataFrame(rows, "record_id long, block_key string")
+
+
+class TestMetablocking:
+    def test_cbs_weight_counts_shared_blocks(self, spark):
+        w = pair_block_weights(
+            _blocks(spark, {"k1": [1, 2], "k2": [1, 2], "k3": [1, 3]})
+        )
+        got = {(r["left_id"], r["right_id"]): r["weight"] for r in w.collect()}
+        assert got == {(1, 2): 2, (1, 3): 1}
+
+    def test_wnp_prunes_weak_pair_between_strong_nodes(self, spark):
+        # (1,2) and (3,4) co-occur twice; the single-block bridge (1,3)
+        # is below BOTH endpoint means → pruned
+        kept = metablock_prune(
+            _blocks(spark, {
+                "k1": [1, 2], "k2": [1, 2],
+                "k3": [3, 4], "k4": [3, 4],
+                "k5": [1, 3],
+            })
+        )
+        got = {(r["left_id"], r["right_id"]): r["weight"]
+               for r in kept.collect()}
+        assert got == {(1, 2): 2, (3, 4): 2}
+
+    def test_singleton_node_keeps_its_only_pair(self, spark):
+        # node 4's only pair has weight == its mean → retained (WNP keeps
+        # at-mean pairs), even though node 1 has stronger pairs
+        kept = metablock_prune(
+            _blocks(spark, {
+                "k1": [1, 2], "k2": [1, 2], "k5": [1, 4],
+            })
+        )
+        got = {(r["left_id"], r["right_id"]) for r in kept.collect()}
+        assert got == {(1, 2), (1, 4)}
+
+    def test_matches_naive_reference(self, spark):
+        import random
+
+        rng = random.Random(7)
+        mapping = {
+            f"b{b}": sorted(rng.sample(range(30), rng.randint(1, 6)))
+            for b in range(25)
+        }
+        got = {
+            (r["left_id"], r["right_id"], r["weight"])
+            for r in metablock_prune(_blocks(spark, mapping)).collect()
+        }
+        # naive reference: quadratic per block, python dict math
+        w: dict[tuple[int, int], int] = {}
+        for ids in mapping.values():
+            for a, b in itertools.combinations(sorted(set(ids)), 2):
+                w[(a, b)] = w.get((a, b), 0) + 1
+        s: dict[int, int] = {}
+        c: dict[int, int] = {}
+        for (a, b), wt in w.items():
+            for n in (a, b):
+                s[n] = s.get(n, 0) + wt
+                c[n] = c.get(n, 0) + 1
+        want = {
+            (a, b, wt)
+            for (a, b), wt in w.items()
+            if wt * c[a] >= s[a] or wt * c[b] >= s[b]
+        }
+        assert got == want
