@@ -1543,15 +1543,11 @@ def er_cluster_jaccard_docs(spark, sf_dir):
     )
 
 
-def fs_match_parts(spark, sf_dir):
-    """Fellegi–Sunter probabilistic linkage over blocked part-name pairs:
-    candidate pairs from the real contracted blocking machinery (prefix
-    channel, 1 sorted token, caps disabled so the pair set is exactly
-    'share the first sorted token' — SQL-expressible), then discrete
-    agreement levels and the decimal-literal log2(m/u) weight sum
-    (problink.py). The oracle replays every level decision (integer
-    cross-multiplied bands) and sums the IDENTICAL weight literals, so a
-    single flipped band or drifted weight anywhere turns this red."""
+def _fs_blocked_pair_levels(spark, sf_dir):
+    """Shared by the Fellegi–Sunter entries: part names → contracted
+    blocking (prefix channel, 1 sorted token, caps disabled so the pair
+    set is exactly 'share the first sorted token' — SQL-expressible) →
+    agreement-level columns (problink.comparison_levels)."""
     from company_name_matching_spark.operators import blocking, normalize, problink
 
     p = _t(spark, sf_dir, "part")
@@ -1584,7 +1580,18 @@ def fs_match_parts(spark, sf_dir):
             "right_id",
         )
     )
-    scored = problink.fs_score_pairs(problink.comparison_levels(pr))
+    return problink.comparison_levels(pr)
+
+
+def fs_match_parts(spark, sf_dir):
+    """Fellegi–Sunter probabilistic linkage over blocked part-name pairs:
+    discrete agreement levels and the decimal-literal log2(m/u) weight sum
+    (problink.py). The oracle replays every level decision (integer
+    cross-multiplied bands) and sums the IDENTICAL weight literals, so a
+    single flipped band or drifted weight anywhere turns this red."""
+    from company_name_matching_spark.operators import problink
+
+    scored = problink.fs_score_pairs(_fs_blocked_pair_levels(spark, sf_dir))
     # engine pair orientation is record-hash order; project to the
     # cross-engine-comparable (min, max) partkey orientation — every
     # level and the weight are symmetric, so orientation is free
@@ -1613,6 +1620,22 @@ def fs_u_probs_parts(spark, sf_dir):
         F.col("source_id").cast("long").alias("pk"), "match_key", "tokens"
     )
     return problink.estimate_u(df, k=3, order_col="pk").orderBy(
+        "field", "level"
+    )
+
+
+def fs_em_mu_parts(spark, sf_dir):
+    """Unsupervised EM fitting of the Fellegi–Sunter m/u/λ parameters
+    (problink.em_estimate_mu, Winkler '88) over the same blocked pair
+    set as fs_match_parts — 2 fixed rounds, every E-step a fixed chain
+    of IEEE double ops with the round's parameters embedded as literals,
+    every M-step a 12dp-decimal-accumulated aggregation. The oracle
+    replays both rounds as chained CTEs (the PageRank pattern), so a
+    drifted responsibility, sum, or rounding anywhere turns this red."""
+    from company_name_matching_spark.operators import problink
+
+    lv = _fs_blocked_pair_levels(spark, sf_dir)
+    return problink.em_estimate_mu(lv, iterations=2).orderBy(
         "field", "level"
     )
 
@@ -1767,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_invariants_parts": er_invariants_parts,
         "fs_match_parts": fs_match_parts,
         "fs_u_probs_parts": fs_u_probs_parts,
+        "fs_em_mu_parts": fs_em_mu_parts,
         "er_bcubed_parts": er_bcubed_parts,
         "parts_metablocking": parts_metablocking,
     }

@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "pages_extract_text",
     "docs_decontaminate",
     "docs_c4_line_clean",
+    "fs_match_parts",
+    "parts_metablocking",
 ]
 
 

@@ -247,3 +247,107 @@ def estimate_u(
         F.round(F.col("n_pairs").cast("double") / F.lit(total), 6).alias("u"),
         "n_pairs",
     )
+
+
+def em_estimate_mu(
+    levels: DataFrame,
+    cfg: FSConfig | None = None,
+    iterations: int = 2,
+    initial_lambda: float = 0.1,
+) -> DataFrame:
+    """Unsupervised m/u estimation via EM (Winkler '88 — the standard
+    Fellegi–Sunter fitting procedure; Splink's ``estimate_parameters_
+    using_expectation_maximisation``). Takes the agreement-level table
+    from :func:`comparison_levels` and runs a FIXED number of EM rounds:
+
+    * E-step: per-pair match responsibility
+      γ = λ·∏m_f(lvl) / (λ·∏m_f(lvl) + (1−λ)·∏u_f(lvl)), with the
+      CURRENT round's m/u/λ embedded as double literals (tiny table,
+      collected — bounded by #fields × #levels) so the per-row arithmetic
+      is a fixed chain of IEEE ops: ((((λ·m₁)·m₂)·m₃)·m₄), identical in
+      every engine.
+    * M-step: γ is 12dp-rounded into DECIMAL(14,12) and summed per
+      (field, level) — order-independent — then the new
+      m = round(Σγ_at_level / Σγ, 12), u = round(Σ(1−γ)_at_level /
+      Σ(1−γ), 12), λ = round(Σγ / n, 12) are rounded IN-ENGINE (HALF_UP,
+      matching the DuckDB twin; never Python's banker's rounding).
+
+    Deterministic by construction: fixed iterations, no RNG, decimal
+    accumulation — the oracle replays every round as chained CTEs (the
+    PageRank pattern). Only levels OBSERVED in the pair set appear (an
+    unobserved level can never be hit by the next round's CASE).
+
+    Scale: the levels table is materialized once; each round is one
+    narrow γ projection + one hash agg over the 4×-unpivoted stack +
+    one bounded scalar agg. Driver state is the ~10-row m/u table.
+    Output: (field, level, m, u, lam) — lam repeated per row.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be ≥ 1, got {iterations}")
+    cfg = cfg or FSConfig()
+    from company_name_matching_spark.sources.store import materialize
+
+    lv = materialize(levels.select(*FIELDS), "fs_em_levels")
+    mu: dict[str, dict[int, tuple[float, float]]] = {
+        f_: {lvl: (float(m), float(u)) for lvl, (m, u) in t.items()}
+        for f_, t in cfg.mu.items()
+    }
+    lam = float(initial_lambda)
+    mu_df = None
+    for _ in range(iterations):
+        num = F.lit(lam)
+        den_u = F.lit(1.0) - F.lit(lam)
+        for f_ in FIELDS:
+            m_case, u_case = None, None
+            for lvl, (m, u) in sorted(mu[f_].items()):
+                m_case = (
+                    F.when(F.col(f_) == lvl, F.lit(m))
+                    if m_case is None
+                    else m_case.when(F.col(f_) == lvl, F.lit(m))
+                )
+                u_case = (
+                    F.when(F.col(f_) == lvl, F.lit(u))
+                    if u_case is None
+                    else u_case.when(F.col(f_) == lvl, F.lit(u))
+                )
+            num = num * m_case
+            den_u = den_u * u_case
+        g = lv.withColumn(
+            "g",
+            F.round(num / (num + den_u), 12).cast("decimal(14,12)"),
+        )
+        stacked = None
+        for f_ in FIELDS:
+            part = g.select(
+                F.lit(f_).alias("field"),
+                F.col(f_).cast("int").alias("level"),
+                "g",
+            )
+            stacked = part if stacked is None else stacked.unionByName(part)
+        s = stacked.groupBy("field", "level").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("g").alias("sg")
+        )
+        tot = g.agg(
+            F.sum("g").alias("tg"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum("g").cast("double") / F.count(F.lit(1)), 12
+            ).alias("lam"),
+        ).first()
+        tg, n, lam = tot["tg"], tot["n"], float(tot["lam"])
+        mu_df = s.select(
+            "field",
+            "level",
+            F.round(
+                F.col("sg").cast("double") / F.lit(float(tg)), 12
+            ).alias("m"),
+            F.round(
+                (F.col("cnt") - F.col("sg")).cast("double")
+                / F.lit(float(n - tg)),
+                12,
+            ).alias("u"),
+        )
+        mu = {f_: {} for f_ in FIELDS}
+        for r in mu_df.collect():  # bounded: #fields × #levels rows
+            mu[r["field"]][r["level"]] = (r["m"], r["u"])
+    return mu_df.withColumn("lam", F.lit(lam))

@@ -110,6 +110,109 @@ def _fs_weight_sql() -> str:
     return " + ".join(terms)
 
 
+def _fs_levels_ctes() -> str:
+    """Shared CTE chain for the Fellegi–Sunter oracles: part names →
+    first-sorted-token blocked pairs → integer-decided agreement levels
+    (the exact twin of __spark_entry__._fs_blocked_pair_levels)."""
+    return f"""t AS (
+                SELECT p_partkey AS pk, {clean_name_sql('p_name')} AS mk
+                FROM part
+            ),
+            f AS (
+                SELECT pk, mk,
+                       list_distinct(regexp_split_to_array(mk, '\\s+')) AS dt
+                FROM t WHERE mk <> ''
+            ),
+            pr0 AS (
+                SELECT l.pk AS pk_l, r.pk AS pk_r,
+                       l.mk AS lmk, r.mk AS rmk, l.dt AS ldt, r.dt AS rdt,
+                       len(l.dt) + len(r.dt)
+                         - len(list_distinct(l.dt || r.dt)) AS i,
+                       len(list_distinct(l.dt || r.dt)) AS u
+                FROM f l JOIN f r
+                  ON list_sort(l.dt)[1] = list_sort(r.dt)[1] AND l.pk < r.pk
+            ),
+            pr AS (
+                SELECT pk_l, pk_r,
+                       CAST(lmk = rmk AS INT) AS key_exact,
+                       CAST(CASE WHEN 5 * i >= 4 * u THEN 2
+                                 WHEN 2 * i >= u THEN 1
+                                 ELSE 0 END AS INT) AS jaccard_band,
+                       CAST(list_sort(ldt)[1] = list_sort(rdt)[1] AS INT)
+                         AS first_token,
+                       CAST(abs(length(lmk) - length(rmk)) <= 2 AS INT)
+                         AS len_band
+                FROM pr0
+            )"""
+
+
+def _fs_em_sql(iterations: int = 2, initial_lambda: float = 0.1) -> str:
+    """The EM twin as chained CTEs (the PageRank pattern): per round, the
+    E-step γ is the IDENTICAL fixed chain of double ops the engine runs
+    (((λ·m₁)·m₂)·m₃)·m₄ with parameters joined from the previous round's
+    table, the M-step the same 12dp-decimal-summed, in-engine-rounded
+    ratios. mu0/λ0 are rendered from the SAME FSConfig the engine uses."""
+    rows = ",\n                    ".join(
+        f"('{f_}', {lvl}, CAST({m!r} AS DOUBLE), CAST({u!r} AS DOUBLE))"
+        for f_ in _FS_FIELDS
+        for lvl, (m, u) in sorted(_FSConfig().mu[f_].items())
+    )
+    ctes = [
+        _fs_levels_ctes(),
+        f"""mu0 AS (
+                SELECT * FROM (VALUES
+                    {rows}
+                ) AS v(field, level, m, u)
+            )""",
+        f"lam0 AS (SELECT CAST({initial_lambda!r} AS DOUBLE) AS l)",
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        num = "((((lam.l * m1.m) * m2.m) * m3.m) * m4.m)"
+        den_u = "(((((CAST(1.0 AS DOUBLE) - lam.l) * m1.u) * m2.u) * m3.u) * m4.u)"
+        joins = "\n                ".join(
+            f"JOIN mu{p} m{j + 1} ON m{j + 1}.field = '{f_}' "
+            f"AND m{j + 1}.level = pr.{f_}"
+            for j, f_ in enumerate(_FS_FIELDS)
+        )
+        ctes.append(f"""g{i} AS (
+                SELECT pr.*, CAST(round({num} / ({num} + {den_u}), 12)
+                             AS DECIMAL(14,12)) AS g
+                FROM pr
+                CROSS JOIN lam{p} lam
+                {joins}
+            )""")
+        stack = "\n                    UNION ALL ".join(
+            f"SELECT '{f_}' AS field, {f_} AS level, g FROM g{i}"
+            for f_ in _FS_FIELDS
+        )
+        ctes.append(f"""s{i} AS (
+                SELECT field, level, COUNT(*) AS cnt, SUM(g) AS sg
+                FROM ({stack}) st GROUP BY field, level
+            )""")
+        ctes.append(f"t{i} AS (SELECT SUM(g) AS tg, COUNT(*) AS n FROM g{i})")
+        ctes.append(f"""mu{i} AS (
+                SELECT field, level,
+                       round(CAST(sg AS DOUBLE) / CAST(t.tg AS DOUBLE), 12)
+                         AS m,
+                       round(CAST(cnt - sg AS DOUBLE)
+                             / CAST(t.n - t.tg AS DOUBLE), 12) AS u
+                FROM s{i} CROSS JOIN t{i} t
+            )""")
+        ctes.append(
+            f"lam{i} AS (SELECT round(CAST(tg AS DOUBLE) / n, 12) AS l "
+            f"FROM t{i})"
+        )
+    return (
+        "WITH " + ",\n            ".join(ctes)
+        + f"""
+            SELECT m.field, CAST(m.level AS INT) AS level, m.m, m.u,
+                   l.l AS lam
+            FROM mu{iterations} m CROSS JOIN lam{iterations} l
+            ORDER BY field, level"""
+    )
+
+
 def _rr(expr: str, pattern: str, repl: str) -> str:
     pattern = pattern.replace("'", "''")
     repl = repl.replace("'", "''")
@@ -1631,36 +1734,7 @@ def build_oracles() -> dict[str, str]:
         # 6dp decimal literal the engine embeds (generated above from the
         # same FSConfig), so the decimal sum is bit-equal by construction.
         "fs_match_parts": f"""
-            WITH t AS (
-                SELECT p_partkey AS pk, {clean_name_sql('p_name')} AS mk
-                FROM part
-            ),
-            f AS (
-                SELECT pk, mk,
-                       list_distinct(regexp_split_to_array(mk, '\\s+')) AS dt
-                FROM t WHERE mk <> ''
-            ),
-            pr0 AS (
-                SELECT l.pk AS pk_l, r.pk AS pk_r,
-                       l.mk AS lmk, r.mk AS rmk, l.dt AS ldt, r.dt AS rdt,
-                       len(l.dt) + len(r.dt)
-                         - len(list_distinct(l.dt || r.dt)) AS i,
-                       len(list_distinct(l.dt || r.dt)) AS u
-                FROM f l JOIN f r
-                  ON list_sort(l.dt)[1] = list_sort(r.dt)[1] AND l.pk < r.pk
-            ),
-            pr AS (
-                SELECT pk_l, pk_r,
-                       CAST(lmk = rmk AS INT) AS key_exact,
-                       CAST(CASE WHEN 5 * i >= 4 * u THEN 2
-                                 WHEN 2 * i >= u THEN 1
-                                 ELSE 0 END AS INT) AS jaccard_band,
-                       CAST(list_sort(ldt)[1] = list_sort(rdt)[1] AS INT)
-                         AS first_token,
-                       CAST(abs(length(lmk) - length(rmk)) <= 2 AS INT)
-                         AS len_band
-                FROM pr0
-            ),
+            WITH {_fs_levels_ctes()},
             w AS (
                 SELECT *, CAST({_fs_weight_sql()} AS DOUBLE) AS fs_weight
                 FROM pr
@@ -1728,6 +1802,9 @@ def build_oracles() -> dict[str, str]:
                    COUNT(*) AS n_pairs
             FROM stacked GROUP BY field, level ORDER BY field, level
         """,
+        # EM fitting of m/u/λ: two chained-CTE rounds generated from the
+        # same FSConfig + field order the engine iterates.
+        "fs_em_mu_parts": _fs_em_sql(iterations=2),
         # B-cubed via the (pred, gold) contingency factoring — per-cell
         # 9dp-rounded double contributions summed as DECIMAL(38,9), means
         # rounded 6dp, F1 from the already-rounded means (same steps, same

@@ -206,3 +206,58 @@ class TestMetablocking:
             if wt * c[a] >= s[a] or wt * c[b] >= s[b]
         }
         assert got == want
+
+
+class TestEMEstimation:
+    def test_em_separates_planted_match_structure(self, spark):
+        # 60 clear non-matches (all levels 0) + 20 clear matches (all
+        # levels max): EM must drive m toward the match levels, u toward
+        # the non-match levels, λ toward 0.25
+        rows = [(0, 0, 0, 0)] * 60 + [(1, 2, 1, 1)] * 20
+        lv = spark.createDataFrame(
+            rows,
+            "key_exact int, jaccard_band int, first_token int, len_band int",
+        )
+        out = problink.em_estimate_mu(lv, iterations=2)
+        got = {(r["field"], r["level"]): (r["m"], r["u"], r["lam"])
+               for r in out.collect()}
+        for f in problink.FIELDS:
+            hi = 2 if f == "jaccard_band" else 1
+            m_hi, u_hi, lam = got[(f, hi)]
+            m_lo, u_lo, _ = got[(f, 0)]
+            assert m_hi > 0.99 and m_lo < 0.01, (f, m_hi, m_lo)
+            assert u_lo > 0.99 and u_hi < 0.01, (f, u_lo, u_hi)
+            assert abs(lam - 0.25) < 0.01
+            # probabilities: valid and complementary per field
+            assert 0.0 <= m_hi <= 1.0 and 0.0 <= u_lo <= 1.0
+            assert abs((m_hi + m_lo) - 1.0) < 1e-9
+            assert abs((u_hi + u_lo) - 1.0) < 1e-9
+
+    def test_em_is_deterministic_across_partitionings(self, spark):
+        import random
+
+        rng = random.Random(3)
+        rows = [
+            (rng.randint(0, 1), rng.randint(0, 2),
+             rng.randint(0, 1), rng.randint(0, 1))
+            for _ in range(400)
+        ]
+        schema = ("key_exact int, jaccard_band int, "
+                  "first_token int, len_band int")
+        a = problink.em_estimate_mu(
+            spark.createDataFrame(rows, schema).repartition(1), iterations=2
+        ).collect()
+        b = problink.em_estimate_mu(
+            spark.createDataFrame(rows, schema).repartition(13), iterations=2
+        ).collect()
+        ka = {(r["field"], r["level"]): (r["m"], r["u"], r["lam"]) for r in a}
+        kb = {(r["field"], r["level"]): (r["m"], r["u"], r["lam"]) for r in b}
+        assert ka == kb  # bit-identical: decimal sums, in-engine rounding
+
+    def test_em_validates_iterations(self, spark):
+        lv = spark.createDataFrame(
+            [(0, 0, 0, 0)],
+            "key_exact int, jaccard_band int, first_token int, len_band int",
+        )
+        with pytest.raises(ValueError, match="iterations"):
+            problink.em_estimate_mu(lv, iterations=0)
