@@ -1640,14 +1640,10 @@ def fs_em_mu_parts(spark, sf_dir):
     )
 
 
-def er_bcubed_parts(spark, sf_dir):
-    """B-cubed extrinsic cluster evaluation (clustering.bcubed): predicted
-    clusters = exact match-key groups (the provably-correct exact ER on
-    part names, same domain facts as er_cluster_exact_parts), gold
-    partition = p_brand. A real fractional metric computation — cell
-    contingency factoring, decimal-accumulated 9dp contributions — whose
-    every rounding step the DuckDB twin replays."""
-    from company_name_matching_spark.operators import clustering, normalize
+def _parts_pred_gold(spark, sf_dir):
+    """Shared by the cluster-evaluation entries: part names with predicted
+    clusters = exact match-key groups, gold partition = p_brand."""
+    from company_name_matching_spark.operators import normalize
 
     p = _t(spark, sf_dir, "part")
     names = normalize.normalize_mentions(
@@ -1655,7 +1651,7 @@ def er_bcubed_parts(spark, sf_dir):
                  F.col("p_name").alias("nm")),
         "pid", "nm",
     )
-    assignments = names.select(
+    return names.select(
         "record_id", F.col("match_key").alias("pred"),
         F.col("source_id").cast("long").alias("pk"),
     ).join(
@@ -1663,18 +1659,41 @@ def er_bcubed_parts(spark, sf_dir):
                  F.col("p_brand").alias("gold")),
         "pk",
     )
+
+
+def er_bcubed_parts(spark, sf_dir):
+    """B-cubed extrinsic cluster evaluation (clustering.bcubed): predicted
+    clusters = exact match-key groups (the provably-correct exact ER on
+    part names, same domain facts as er_cluster_exact_parts), gold
+    partition = p_brand. A real fractional metric computation — cell
+    contingency factoring, decimal-accumulated 9dp contributions — whose
+    every rounding step the DuckDB twin replays."""
+    from company_name_matching_spark.operators import clustering
+
     return clustering.bcubed(
-        assignments, record_col="record_id", pred_col="pred", gold_col="gold"
+        _parts_pred_gold(spark, sf_dir),
+        record_col="record_id", pred_col="pred", gold_col="gold",
     )
 
 
-def parts_metablocking(spark, sf_dir):
-    """Meta-blocking with Weighted Node Pruning (blocking.metablock_prune):
-    two SQL-expressible key channels (first sorted token; first 4 chars of
-    the space-stripped match key), CBS pair weights, exact integer
-    node-mean pruning. The oracle rebuilds the block graph quadratically
-    and applies the identical integer rule."""
-    from company_name_matching_spark.operators import blocking, normalize
+def er_ari_parts(spark, sf_dir):
+    """Rand index + Adjusted Rand Index (clustering.rand_scores) on the
+    same pred/gold frame as er_bcubed_parts — the pair-counting agreement
+    metrics. Exact integer pair counts; the twin replays the three final
+    double ratios in identical op order."""
+    from company_name_matching_spark.operators import clustering
+
+    return clustering.rand_scores(
+        _parts_pred_gold(spark, sf_dir),
+        record_col="record_id", pred_col="pred", gold_col="gold",
+    )
+
+
+def _parts_two_channel_blocks(spark, sf_dir):
+    """Shared by the meta-blocking entries: part names + the two
+    SQL-expressible block-key channels (first sorted token; first 4 chars
+    of the space-stripped match key). Returns (names, blocks)."""
+    from company_name_matching_spark.operators import normalize
 
     p = _t(spark, sf_dir, "part")
     names = normalize.normalize_mentions(
@@ -1697,6 +1716,17 @@ def parts_metablocking(spark, sf_dir):
             )
         ).alias("block_key"),
     )
+    return names, blocks
+
+
+def parts_metablocking(spark, sf_dir):
+    """Meta-blocking with Weighted Node Pruning (blocking.metablock_prune):
+    two SQL-expressible key channels, CBS pair weights, exact integer
+    node-mean pruning. The oracle rebuilds the block graph quadratically
+    and applies the identical integer rule."""
+    from company_name_matching_spark.operators import blocking
+
+    names, blocks = _parts_two_channel_blocks(spark, sf_dir)
     kept = blocking.metablock_prune(blocks)
     ids = names.select("record_id", F.col("source_id").cast("long").alias("pk"))
     return (
@@ -1711,6 +1741,21 @@ def parts_metablocking(spark, sf_dir):
         )
         .orderBy("pk_l", "pk_r")
     )
+
+
+def blocking_quality_parts(spark, sf_dir):
+    """Blocking-evaluation metrics (blocking.blocking_quality) of the
+    WNP-pruned two-channel block graph against exact-name truth: pair
+    completeness quantifies what metablock_prune's pruning costs, pair
+    quality what it buys, reduction ratio what blocking is for. Exact
+    integer counts; the twin replays the three 6dp ratios in identical
+    op order."""
+    from company_name_matching_spark.operators import blocking
+
+    names, blocks = _parts_two_channel_blocks(spark, sf_dir)
+    kept = blocking.metablock_prune(blocks)
+    labels = names.select("record_id", F.col("match_key").alias("gold_id"))
+    return blocking.blocking_quality(kept, labels)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1792,7 +1837,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_u_probs_parts": fs_u_probs_parts,
         "fs_em_mu_parts": fs_em_mu_parts,
         "er_bcubed_parts": er_bcubed_parts,
+        "er_ari_parts": er_ari_parts,
         "parts_metablocking": parts_metablocking,
+        "blocking_quality_parts": blocking_quality_parts,
     }
 
 

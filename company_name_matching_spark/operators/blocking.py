@@ -587,3 +587,77 @@ def metablock_prune(
         )
         .select("left_id", "right_id", "weight")
     )
+
+
+def blocking_quality(
+    cand: DataFrame,
+    labels: DataFrame,
+    record_col: str = "record_id",
+    gold_col: str = "gold_id",
+) -> DataFrame:
+    """Standard blocking-evaluation metrics (Christen '12): given
+    candidate pairs (``left_id``/``right_id``) and a record→gold-label
+    table, one row with
+
+    * ``pair_completeness``  — recall: covered true pairs / all true
+      pairs (the cost of every cap/prune, e.g. :func:`metablock_prune`);
+    * ``pair_quality``       — precision: true candidates / candidates;
+    * ``reduction_ratio``    — 1 − |candidates| / C(N,2), the whole
+      point of blocking at 10^12 records.
+
+    Counts are exact integers from two hash aggs and two label joins
+    (pairs never materialize beyond the input); the three ratios are
+    6dp-rounded doubles with an identical op order in the DuckDB twin —
+    products/denominators computed in DOUBLE (C(N,2) overflows int64 at
+    web scale). Candidate pairs must already be deduped, left<right —
+    both true by construction for every generator in this module.
+    """
+    lab = labels.select(
+        F.col(record_col).alias("_id"), F.col(gold_col).alias("_g")
+    )
+    tagged = (
+        cand.select("left_id", "right_id")
+        .join(lab.select(F.col("_id").alias("left_id"),
+                         F.col("_g").alias("_gl")), "left_id")
+        .join(lab.select(F.col("_id").alias("right_id"),
+                         F.col("_g").alias("_gr")), "right_id")
+    )
+    cstats = tagged.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum((F.col("_gl") == F.col("_gr")).cast("long"))
+        .alias("true_in_candidates"),
+    )
+    gstats = (
+        lab.groupBy("_g").agg(F.count(F.lit(1)).alias("_sz"))
+        .agg(
+            F.sum(
+                (F.col("_sz") * (F.col("_sz") - 1) / 2).cast("long")
+            ).alias("n_true_pairs"),
+            F.sum("_sz").alias("_n"),
+        )
+    )
+    return cstats.crossJoin(gstats).select(
+        "n_candidates",
+        "n_true_pairs",
+        "true_in_candidates",
+        F.round(
+            F.col("true_in_candidates").cast("double")
+            / F.col("n_true_pairs").cast("double"),
+            6,
+        ).alias("pair_completeness"),
+        F.round(
+            F.col("true_in_candidates").cast("double")
+            / F.col("n_candidates").cast("double"),
+            6,
+        ).alias("pair_quality"),
+        F.round(
+            F.lit(1.0)
+            - F.col("n_candidates").cast("double")
+            / (
+                F.col("_n").cast("double")
+                * (F.col("_n").cast("double") - F.lit(1.0))
+                / F.lit(2.0)
+            ),
+            6,
+        ).alias("reduction_ratio"),
+    )

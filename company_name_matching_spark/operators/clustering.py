@@ -282,3 +282,77 @@ def bcubed(
             6,
         ),
     )
+
+
+def rand_scores(
+    assignments: DataFrame,
+    record_col: str = "record_id",
+    pred_col: str = "cluster_id",
+    gold_col: str = "gold_id",
+) -> DataFrame:
+    """Rand index + Adjusted Rand Index (Hubert & Arabie '85) between a
+    predicted clustering and a gold partition — the pair-counting
+    agreement metrics beside :func:`bcubed`'s record-averaged ones.
+
+    Everything factors through the same (pred, gold) contingency cells:
+    with S_ij = Σ C(n_ij,2), S_a = Σ C(a_i,2), S_b = Σ C(b_j,2),
+    T = C(N,2):  RI = 1 − (S_a + S_b − 2·S_ij)/T and
+    ARI = (S_ij − S_a·S_b/T) / ((S_a+S_b)/2 − S_a·S_b/T). The pair
+    counts are exact integers; only the final ratios are doubles, built
+    with an identical op order in the DuckDB twin (products computed in
+    DOUBLE — at 10^12 records C(N,2)² overflows int64, so the cast
+    happens BEFORE the multiply) and rounded 6dp in-engine.
+
+    One row out: (n_records, rand_index, adjusted_rand). Same
+    one-shuffle scale shape as bcubed; NULL labels raise there, and this
+    reuses the same guarded input contract by construction.
+    """
+    a = assignments.select(
+        F.col(record_col).alias("_r"),
+        F.col(pred_col).alias("_p"),
+        F.col(gold_col).alias("_g"),
+    )
+    a = a.withColumn(
+        "_p",
+        F.when(
+            F.col("_p").isNull() | F.col("_g").isNull(),
+            F.raise_error(F.lit("rand_scores: NULL cluster or gold label")),
+        ).otherwise(F.col("_p")),
+    )
+    cells = a.groupBy("_p", "_g").agg(F.count(F.lit(1)).alias("_c"))
+
+    def _c2(col):
+        return (F.col(col) * (F.col(col) - 1) / 2).cast("long")
+
+    sij = cells.agg(
+        F.sum(_c2("_c")).alias("s_ij"), F.sum("_c").alias("n")
+    )
+    sa = (
+        cells.groupBy("_p").agg(F.sum("_c").alias("_a"))
+        .agg(F.sum(_c2("_a")).alias("s_a"))
+    )
+    sb = (
+        cells.groupBy("_g").agg(F.sum("_c").alias("_b"))
+        .agg(F.sum(_c2("_b")).alias("s_b"))
+    )
+    j = sij.crossJoin(sa).crossJoin(sb).select(
+        "*",
+        (F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("t"),
+    )
+    exp = (
+        F.col("s_a").cast("double") * F.col("s_b").cast("double")
+    ) / F.col("t").cast("double")
+    return j.select(
+        F.col("n").alias("n_records"),
+        F.round(
+            F.lit(1.0)
+            - (F.col("s_a") + F.col("s_b") - F.lit(2) * F.col("s_ij"))
+            .cast("double") / F.col("t").cast("double"),
+            6,
+        ).alias("rand_index"),
+        F.round(
+            (F.col("s_ij").cast("double") - exp)
+            / ((F.col("s_a") + F.col("s_b")).cast("double") / F.lit(2.0) - exp),
+            6,
+        ).alias("adjusted_rand"),
+    )

@@ -146,6 +146,43 @@ def _fs_levels_ctes() -> str:
             )"""
 
 
+def _metablock_ctes() -> str:
+    """Shared CTE chain for the meta-blocking oracles: two-channel block
+    keys → quadratic CBS pair weights → WNP-kept pairs ``kept(a, b, w)``
+    (the exact twin of __spark_entry__._parts_two_channel_blocks +
+    blocking.metablock_prune)."""
+    return f"""t AS (
+                SELECT p_partkey AS pk, {clean_name_sql('p_name')} AS mk
+                FROM part
+            ),
+            f AS (
+                SELECT pk, mk,
+                       list_distinct(regexp_split_to_array(mk, '\\s+')) AS dt
+                FROM t WHERE mk <> ''
+            ),
+            keys AS (
+                SELECT pk, 't:' || list_sort(dt)[1] AS bk FROM f
+                UNION ALL
+                SELECT pk, 'p4:' || substr(replace(mk, ' ', ''), 1, 4) FROM f
+            ),
+            pw AS (
+                SELECT l.pk AS a, r.pk AS b, COUNT(*) AS w
+                FROM keys l JOIN keys r ON l.bk = r.bk AND l.pk < r.pk
+                GROUP BY l.pk, r.pk
+            ),
+            ns AS (
+                SELECT id, SUM(w) AS s, COUNT(*) AS c
+                FROM (SELECT a AS id, w FROM pw
+                      UNION ALL SELECT b AS id, w FROM pw) e
+                GROUP BY id
+            ),
+            kept AS (
+                SELECT pw.a, pw.b, pw.w
+                FROM pw JOIN ns na ON na.id = pw.a JOIN ns nb ON nb.id = pw.b
+                WHERE pw.w * na.c >= na.s OR pw.w * nb.c >= nb.s
+            )"""
+
+
 def _fs_em_sql(iterations: int = 2, initial_lambda: float = 0.1) -> str:
     """The EM twin as chained CTEs (the PageRank pattern): per round, the
     E-step γ is the IDENTICAL fixed chain of double ops the engine runs
@@ -1846,35 +1883,93 @@ def build_oracles() -> dict[str, str]:
         # pruning by exact integer node means (w·cnt ≥ sum) — the engine's
         # rule verbatim.
         "parts_metablocking": f"""
-            WITH t AS (
-                SELECT p_partkey AS pk, {clean_name_sql('p_name')} AS mk
-                FROM part
-            ),
-            f AS (
-                SELECT pk, mk,
-                       list_distinct(regexp_split_to_array(mk, '\\s+')) AS dt
-                FROM t WHERE mk <> ''
-            ),
-            keys AS (
-                SELECT pk, 't:' || list_sort(dt)[1] AS bk FROM f
-                UNION ALL
-                SELECT pk, 'p4:' || substr(replace(mk, ' ', ''), 1, 4) FROM f
-            ),
-            pw AS (
-                SELECT l.pk AS a, r.pk AS b, COUNT(*) AS w
-                FROM keys l JOIN keys r ON l.bk = r.bk AND l.pk < r.pk
-                GROUP BY l.pk, r.pk
-            ),
-            ns AS (
-                SELECT id, SUM(w) AS s, COUNT(*) AS c
-                FROM (SELECT a AS id, w FROM pw
-                      UNION ALL SELECT b AS id, w FROM pw) e
-                GROUP BY id
-            )
-            SELECT CAST(pw.a AS BIGINT) AS pk_l, CAST(pw.b AS BIGINT) AS pk_r,
-                   pw.w AS weight
-            FROM pw JOIN ns na ON na.id = pw.a JOIN ns nb ON nb.id = pw.b
-            WHERE pw.w * na.c >= na.s OR pw.w * nb.c >= nb.s
+            WITH {_metablock_ctes()}
+            SELECT CAST(a AS BIGINT) AS pk_l, CAST(b AS BIGINT) AS pk_r,
+                   w AS weight
+            FROM kept
             ORDER BY pk_l, pk_r
+        """,
+        # Blocking-evaluation metrics of the WNP-kept graph vs exact-name
+        # truth: exact integer counts, identical double op order for the
+        # three ratios.
+        "blocking_quality_parts": f"""
+            WITH {_metablock_ctes()},
+            lab AS (SELECT pk AS id, mk AS g FROM f),
+            tg AS (
+                SELECT CAST(l1.g = l2.g AS BIGINT) AS is_true
+                FROM kept k
+                JOIN lab l1 ON l1.id = k.a
+                JOIN lab l2 ON l2.id = k.b
+            ),
+            cs AS (
+                SELECT COUNT(*) AS n_candidates,
+                       CAST(SUM(is_true) AS BIGINT) AS true_in_candidates
+                FROM tg
+            ),
+            gs AS (
+                SELECT CAST(SUM(CAST(sz * (sz - 1) / 2 AS BIGINT)) AS BIGINT)
+                         AS n_true_pairs,
+                       CAST(SUM(sz) AS BIGINT) AS n
+                FROM (SELECT COUNT(*) AS sz FROM lab GROUP BY g) z
+            )
+            SELECT n_candidates, n_true_pairs, true_in_candidates,
+                   round(CAST(true_in_candidates AS DOUBLE)
+                         / CAST(n_true_pairs AS DOUBLE), 6)
+                     AS pair_completeness,
+                   round(CAST(true_in_candidates AS DOUBLE)
+                         / CAST(n_candidates AS DOUBLE), 6) AS pair_quality,
+                   round(CAST(1.0 AS DOUBLE)
+                         - CAST(n_candidates AS DOUBLE)
+                           / (CAST(n AS DOUBLE)
+                              * (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))
+                              / CAST(2.0 AS DOUBLE)), 6) AS reduction_ratio
+            FROM cs CROSS JOIN gs
+        """,
+        # Rand / Adjusted Rand via the same contingency cells as B-cubed:
+        # exact integer pair counts, double ratios in the engine's op
+        # order (casts BEFORE the s_a·s_b product — int64 overflows at
+        # web scale).
+        "er_ari_parts": f"""
+            WITH a AS (
+                SELECT p_partkey AS pk, {clean_name_sql('p_name')} AS pred,
+                       p_brand AS gold
+                FROM part
+                WHERE {clean_name_sql('p_name')} <> ''
+            ),
+            cells AS (
+                SELECT pred, gold, COUNT(*) AS c FROM a GROUP BY pred, gold
+            ),
+            sij AS (
+                SELECT CAST(SUM(CAST(c * (c - 1) / 2 AS BIGINT)) AS BIGINT)
+                         AS s_ij,
+                       CAST(SUM(c) AS BIGINT) AS n
+                FROM cells
+            ),
+            sa AS (
+                SELECT CAST(SUM(CAST(aa * (aa - 1) / 2 AS BIGINT)) AS BIGINT)
+                         AS s_a
+                FROM (SELECT SUM(c) AS aa FROM cells GROUP BY pred) z
+            ),
+            sb AS (
+                SELECT CAST(SUM(CAST(bb * (bb - 1) / 2 AS BIGINT)) AS BIGINT)
+                         AS s_b
+                FROM (SELECT SUM(c) AS bb FROM cells GROUP BY gold) z
+            ),
+            j AS (
+                SELECT s_ij, n, s_a, s_b,
+                       CAST(n * (n - 1) / 2 AS BIGINT) AS t
+                FROM sij CROSS JOIN sa CROSS JOIN sb
+            )
+            SELECT n AS n_records,
+                   round(CAST(1.0 AS DOUBLE)
+                         - CAST(s_a + s_b - 2 * s_ij AS DOUBLE)
+                           / CAST(t AS DOUBLE), 6) AS rand_index,
+                   round((CAST(s_ij AS DOUBLE)
+                          - (CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE))
+                            / CAST(t AS DOUBLE))
+                         / (CAST(s_a + s_b AS DOUBLE) / CAST(2.0 AS DOUBLE)
+                            - (CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE))
+                              / CAST(t AS DOUBLE)), 6) AS adjusted_rand
+            FROM j
         """,
     }

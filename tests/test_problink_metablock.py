@@ -261,3 +261,75 @@ class TestEMEstimation:
         )
         with pytest.raises(ValueError, match="iterations"):
             problink.em_estimate_mu(lv, iterations=0)
+
+
+class TestRandScores:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "record_id long, cluster_id string, gold_id string"
+        )
+
+    def test_perfect_clustering_is_one(self, spark):
+        from company_name_matching_spark.operators.clustering import rand_scores
+
+        rows = [(i, f"c{i % 3}", f"g{i % 3}") for i in range(9)]
+        r = rand_scores(self._df(spark, rows)).first()
+        assert (r["rand_index"], r["adjusted_rand"]) == (1.0, 1.0)
+
+    def test_hand_computed_small_case(self, spark):
+        from company_name_matching_spark.operators.clustering import rand_scores
+
+        # pred {1,2}{3} vs gold {1}{2,3}: s_ij=0, s_a=s_b=1, t=3 →
+        # RI = 1 - 2/3 = 0.333333, ARI = (0 - 1/3)/(1 - 1/3) = -0.5
+        rows = [(1, "p1", "g1"), (2, "p1", "g2"), (3, "p2", "g2")]
+        r = rand_scores(self._df(spark, rows)).first()
+        assert r["n_records"] == 3
+        assert r["rand_index"] == 0.333333
+        assert r["adjusted_rand"] == -0.5
+
+    def test_null_label_raises(self, spark):
+        from company_name_matching_spark.operators.clustering import rand_scores
+
+        with pytest.raises(Exception, match="NULL cluster or gold"):
+            rand_scores(self._df(spark, [(1, "c", None)])).collect()
+
+
+class TestBlockingQuality:
+    def test_hand_computed(self, spark):
+        from company_name_matching_spark.operators.blocking import blocking_quality
+
+        labels = spark.createDataFrame(
+            [(1, "g1"), (2, "g1"), (3, "g2"), (4, "g2")],
+            "record_id long, gold_id string",
+        )
+        cand = spark.createDataFrame(
+            [(1, 2), (1, 3)], "left_id long, right_id long"
+        )
+        r = blocking_quality(cand, labels).first()
+        assert r["n_candidates"] == 2
+        assert r["n_true_pairs"] == 2
+        assert r["true_in_candidates"] == 1
+        assert r["pair_completeness"] == 0.5
+        assert r["pair_quality"] == 0.5
+        assert r["reduction_ratio"] == 0.666667
+
+    def test_perfect_blocking(self, spark):
+        from company_name_matching_spark.operators.blocking import blocking_quality
+
+        labels = spark.createDataFrame(
+            [(i, f"g{i % 2}") for i in range(6)],
+            "record_id long, gold_id string",
+        )
+        # candidates exactly the true pairs
+        import itertools
+        groups = {}
+        for i in range(6):
+            groups.setdefault(i % 2, []).append(i)
+        cand = spark.createDataFrame(
+            [p for g in groups.values()
+             for p in itertools.combinations(sorted(g), 2)],
+            "left_id long, right_id long",
+        )
+        r = blocking_quality(cand, labels).first()
+        assert r["pair_completeness"] == 1.0
+        assert r["pair_quality"] == 1.0
