@@ -1743,6 +1743,43 @@ def parts_metablocking(spark, sf_dir):
     )
 
 
+def parts_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (blocking.sorted_neighborhood_pairs):
+    fabricated sort key = concatenated sorted tokens, window 5, global
+    ranks from the two-pass bucketed ranker (never a single-partition
+    window). The oracle replays the identical total order with one
+    ROW_NUMBER and the rank-distance window — any bucketing/offset bug
+    in global_rank turns this red."""
+    from company_name_matching_spark.operators import blocking, normalize
+
+    p = _t(spark, sf_dir, "part")
+    names = normalize.normalize_mentions(
+        p.select(F.col("p_partkey").cast("string").alias("pid"),
+                 F.col("p_name").alias("nm")),
+        "pid", "nm",
+    )
+    keyed = names.select(
+        "record_id",
+        F.concat_ws("", F.sort_array("tokens")).alias("snb_key"),
+        F.col("source_id").cast("long").alias("pk"),
+    )
+    pairs = blocking.sorted_neighborhood_pairs(
+        keyed, "snb_key", window=5, tiebreak_col="pk"
+    )
+    ids = keyed.select("record_id", "pk")
+    return (
+        pairs.join(ids.withColumnRenamed("record_id", "left_id")
+                   .withColumnRenamed("pk", "l_pk"), "left_id")
+        .join(ids.withColumnRenamed("record_id", "right_id")
+              .withColumnRenamed("pk", "r_pk"), "right_id")
+        .select(
+            F.least("l_pk", "r_pk").alias("pk_l"),
+            F.greatest("l_pk", "r_pk").alias("pk_r"),
+        )
+        .orderBy("pk_l", "pk_r")
+    )
+
+
 def blocking_quality_parts(spark, sf_dir):
     """Blocking-evaluation metrics (blocking.blocking_quality) of the
     WNP-pruned two-channel block graph against exact-name truth: pair
@@ -1840,6 +1877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_ari_parts": er_ari_parts,
         "parts_metablocking": parts_metablocking,
         "blocking_quality_parts": blocking_quality_parts,
+        "parts_sorted_neighborhood": parts_sorted_neighborhood,
     }
 
 

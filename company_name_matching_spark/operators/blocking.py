@@ -42,6 +42,7 @@ from dataclasses import dataclass, field
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _MERSENNE31 = 2147483647  # 2^31 - 1, prime
 
@@ -660,4 +661,142 @@ def blocking_quality(
             ),
             6,
         ).alias("reduction_ratio"),
+    )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "_rank",
+    n_buckets: int = 64,
+    sample_per_bucket: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale-honest GLOBAL 1-based rank under the total order
+    ``order_cols`` — the primitive sorted-neighborhood blocking needs.
+    ``Window.orderBy`` without a partition key funnels the entire table
+    through ONE task; this instead:
+
+    1. samples the first order column deterministically (xxhash64
+       threshold, no RNG state) and derives ≤ ``n_buckets`` range
+       boundaries — collected ONCE, so every downstream job sees the
+       identical bucketing (Spark's repartitionByRange re-samples per
+       job, which would misalign the offset pass);
+    2. assigns each row its bucket as a pure function of the key
+       (count of boundaries ≤ key — rows with EQUAL first keys always
+       share a bucket, keeping the order total);
+    3. ranks within buckets (hash exchange + per-bucket sort) and adds
+       the cumulative bucket offsets (one bounded count aggregation,
+       ≤ n_buckets rows collected).
+
+    The rank value is a pure function of the data and the total order —
+    independent of partitioning, sampling quality (bad boundaries only
+    skew bucket sizes), and parallelism. Requires ``order_cols`` to be a
+    TOTAL order (pass a unique tiebreak column last).
+    """
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    first = order_cols[0]
+    n = df.count()
+    if n == 0:
+        return df.withColumn(rank_col, F.lit(None).cast("long"))
+    want = n_buckets * sample_per_bucket
+    src = df.select(F.col(first).alias("_k"))
+    if want < n:
+        # float(2^63-1) rounds UP past Long.MAX — keep the threshold
+        # arithmetic in exact integers
+        src = src.where(
+            F.abs(F.xxhash64(F.col("_k").cast("string"), F.lit(seed)))
+            <= F.lit((want * (2**63 - 1)) // n)
+        )
+    sample = sorted(
+        r["_k"] for r in src.collect()
+    )  # bounded: ~n_buckets × sample_per_bucket rows (or all of a tiny df)
+    bounds: list = []
+    if sample:
+        step = max(1, len(sample) // n_buckets)
+        bounds = sorted({sample[i] for i in range(step, len(sample), step)})
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bkt = F.size(F.filter(barr, lambda x: x <= F.col(first)))
+    else:
+        bkt = F.lit(0)
+    bucketed = df.withColumn("_bkt", bkt)
+    counts = sorted(
+        (r["_bkt"], r["cnt"])
+        for r in bucketed.groupBy("_bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()  # bounded: ≤ n_buckets + 1 rows
+    )
+    offs, acc = {}, 0
+    for b, c in counts:
+        offs[b] = acc
+        acc += c
+    off_map = F.create_map(
+        *[F.lit(x) for bc in offs.items() for x in bc]
+    )
+    win = Window.partitionBy("_bkt").orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return (
+        bucketed.withColumn("_rin", F.row_number().over(win))
+        .withColumn(
+            rank_col,
+            (off_map[F.col("_bkt")] + F.col("_rin")).cast("long"),
+        )
+        .drop("_bkt", "_rin")
+    )
+
+
+def sorted_neighborhood_pairs(
+    names: DataFrame,
+    key_col: str,
+    window: int = 5,
+    id_col: str = "record_id",
+    tiebreak_col: str | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo '95) — the third
+    classic candidate-generation family beside key-equality blocks and
+    LSH: sort by a fabricated key, pair every record with its ``window-1``
+    successors. Catches near-misses that share a PREFIX of the sort key
+    but no exact block key (the failure mode of equality blocking on
+    typo'd tails).
+
+    Ranks come from :func:`global_rank` (never a single-partition
+    window). Pairing is an EQUI-join on the rank bucket ``rank // w``:
+    a successor within w-1 positions lives in the same or the next
+    bucket, so each record is emitted twice on the left (bucket, bucket
+    +1) and matched once — a 2× fan-out instead of a rank-range
+    non-equi join that would plan as BroadcastNestedLoop. Output:
+    (left_id, right_id), rank-ascending orientation, each pair exactly
+    once.
+    """
+    if window < 2:
+        raise ValueError(f"window must be ≥ 2, got {window}")
+    tb = tiebreak_col or id_col
+    ranked = global_rank(
+        names.select(id_col, key_col, tb).dropDuplicates([id_col]),
+        [key_col, tb],
+        rank_col="_rank",
+        n_buckets=n_buckets,
+    )
+    wsz = F.lit(window)
+    base = F.floor(F.col("_rank") / wsz)
+    left = ranked.select(
+        F.col(id_col).alias("left_id"),
+        F.col("_rank").alias("_lr"),
+        F.explode(F.array(base, base + 1)).alias("_b"),
+    )
+    right = ranked.select(
+        F.col(id_col).alias("right_id"),
+        F.col("_rank").alias("_rr"),
+        base.alias("_b"),
+    )
+    return (
+        left.join(right, "_b")
+        .where(
+            (F.col("_rr") - F.col("_lr")).between(1, window - 1)
+        )
+        .select("left_id", "right_id")
     )

@@ -1925,6 +1925,28 @@ def build_oracles() -> dict[str, str]:
                               / CAST(2.0 AS DOUBLE)), 6) AS reduction_ratio
             FROM cs CROSS JOIN gs
         """,
+        # Sorted-neighborhood blocking: the identical (key, pk) total
+        # order as one ROW_NUMBER, pairs within rank distance < 5.
+        "parts_sorted_neighborhood": f"""
+            WITH t AS (
+                SELECT p_partkey AS pk, {clean_name_sql('p_name')} AS mk
+                FROM part
+            ),
+            k AS (
+                SELECT pk,
+                       array_to_string(
+                           list_sort(regexp_split_to_array(mk, '\\s+')), ''
+                       ) AS key
+                FROM t WHERE mk <> ''
+            ),
+            rn AS (
+                SELECT pk, ROW_NUMBER() OVER (ORDER BY key, pk) AS rn FROM k
+            )
+            SELECT CAST(LEAST(l.pk, r.pk) AS BIGINT) AS pk_l,
+                   CAST(GREATEST(l.pk, r.pk) AS BIGINT) AS pk_r
+            FROM rn l JOIN rn r ON r.rn - l.rn BETWEEN 1 AND 4
+            ORDER BY pk_l, pk_r
+        """,
         # Rand / Adjusted Rand via the same contingency cells as B-cubed:
         # exact integer pair counts, double ratios in the engine's op
         # order (casts BEFORE the s_a·s_b product — int64 overflows at

@@ -333,3 +333,60 @@ class TestBlockingQuality:
         r = blocking_quality(cand, labels).first()
         assert r["pair_completeness"] == 1.0
         assert r["pair_quality"] == 1.0
+
+
+class TestSortedNeighborhood:
+    def test_global_rank_matches_single_partition_window(self, spark):
+        import random
+
+        from pyspark.sql.window import Window
+
+        from company_name_matching_spark.operators.blocking import global_rank
+
+        rng = random.Random(11)
+        rows = [(i, f"k{rng.randint(0, 50):03d}") for i in range(500)]
+        df = spark.createDataFrame(rows, "id long, key string").repartition(7)
+        got = {
+            r["id"]: r["_rank"]
+            for r in global_rank(df, ["key", "id"], n_buckets=8).collect()
+        }
+        want = {
+            r["id"]: r["rn"]
+            for r in df.withColumn(
+                "rn", F.row_number().over(Window.orderBy("key", "id"))
+            ).collect()
+        }
+        assert got == want
+
+    def test_snb_pairs_match_naive_window(self, spark):
+        import random
+
+        from company_name_matching_spark.operators.blocking import (
+            sorted_neighborhood_pairs,
+        )
+
+        rng = random.Random(5)
+        rows = [(i, f"k{rng.randint(0, 40):03d}") for i in range(300)]
+        df = spark.createDataFrame(rows, "record_id long, key string")
+        got = {
+            (r["left_id"], r["right_id"])
+            for r in sorted_neighborhood_pairs(
+                df, "key", window=4, n_buckets=6
+            ).collect()
+        }
+        order = sorted(rows, key=lambda r: (r[1], r[0]))
+        want = {
+            (order[i][0], order[j][0])
+            for i in range(len(order))
+            for j in range(i + 1, min(i + 4, len(order)))
+        }
+        assert got == want
+
+    def test_snb_validates_window(self, spark):
+        from company_name_matching_spark.operators.blocking import (
+            sorted_neighborhood_pairs,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "record_id long, key string")
+        with pytest.raises(ValueError, match="window"):
+            sorted_neighborhood_pairs(df, "key", window=1)
