@@ -351,3 +351,34 @@ def em_estimate_mu(
         for r in mu_df.collect():  # bounded: #fields × #levels rows
             mu[r["field"]][r["level"]] = (r["m"], r["u"])
     return mu_df.withColumn("lam", F.lit(lam))
+
+
+def fs_match_pairs(
+    names: DataFrame, cand: DataFrame, cfg: FSConfig | None = None
+) -> DataFrame:
+    """Glue: candidate pairs + normalized names → FS-scored pairs carrying
+    ``is_match`` (decision == 'match'), the exact contract
+    ``clustering.cluster_matches`` consumes — a drop-in probabilistic
+    alternative to ``scoring.score_pairs``'s fused-similarity rule. The
+    FS decision semantics differ deliberately: the 'match' tier is the
+    high-precision auto-link band, 'possible' the clerical-review band —
+    clustering on the match tier alone over-SPLITS fuzzy variants but
+    never over-merges (tested on the labeled fixture corpus)."""
+    feat = names.select("record_id", "match_key", "tokens")
+    pr = (
+        cand.select("left_id", "right_id")
+        .join(
+            feat.select(F.col("record_id").alias("left_id"),
+                        F.col("match_key").alias("l_match_key"),
+                        F.col("tokens").alias("l_tokens")),
+            "left_id",
+        )
+        .join(
+            feat.select(F.col("record_id").alias("right_id"),
+                        F.col("match_key").alias("r_match_key"),
+                        F.col("tokens").alias("r_tokens")),
+            "right_id",
+        )
+    )
+    scored = fs_score_pairs(comparison_levels(pr), cfg)
+    return scored.withColumn("is_match", F.col("decision") == "match")

@@ -390,3 +390,52 @@ class TestSortedNeighborhood:
         df = spark.createDataFrame([(1, "a")], "record_id long, key string")
         with pytest.raises(ValueError, match="window"):
             sorted_neighborhood_pairs(df, "key", window=1)
+
+
+class TestFSMatchRule:
+    def test_fs_match_tier_never_overmerges(self, spark):
+        """End-to-end: FS decisions over real blocked candidates on the
+        labeled fixture corpus. The 'match' tier must be pure (zero
+        cross-entity links) and cover every exact-duplicate pair; the
+        clusters built from it must each contain one entity."""
+        from company_name_matching_spark.operators import (
+            blocking as blk,
+            clustering,
+            normalize,
+            problink,
+        )
+        from company_name_matching_spark.sources import fixtures
+
+        pages = fixtures.pages_dataframe(spark, n_companies=60, per_company=4)
+        names = normalize.normalize_pages(pages)
+        cand = blk.candidate_pairs(names)
+        scored = problink.fs_match_pairs(names, cand)
+        ids = (
+            names.select("record_id", "url")
+            .join(pages.select("url", "entity_id"), "url")
+            .select("record_id", F.split("entity_id", "#")[0].alias("ent"))
+        )
+        tagged = (
+            scored.join(ids.withColumnRenamed("record_id", "left_id")
+                        .withColumnRenamed("ent", "l_ent"), "left_id")
+            .join(ids.withColumnRenamed("record_id", "right_id")
+                  .withColumnRenamed("ent", "r_ent"), "right_id")
+        )
+        # match tier: high precision — zero cross-entity auto-links
+        assert tagged.where(
+            (F.col("decision") == "match") & (F.col("l_ent") != F.col("r_ent"))
+        ).count() == 0
+        # every exact-duplicate candidate pair is auto-linked
+        assert tagged.where(
+            (F.col("key_exact") == 1) & (F.col("decision") != "match")
+        ).count() == 0
+        # clustering the match tier: over-splits allowed, over-merges not
+        labels, _ = clustering.cluster_matches(scored, names)
+        ent_per_cluster = (
+            labels.join(ids, "record_id")
+            .groupBy("cluster_id")
+            .agg(F.countDistinct("ent").alias("n_ent"))
+            .where(F.col("n_ent") > 1)
+            .count()
+        )
+        assert ent_per_cluster == 0
