@@ -1382,6 +1382,32 @@ def er_cluster_fuzzy_parts(spark, sf_dir):
         scoring,
     )
 
+    withpk = _fuzzy_parts_withpk(spark, sf_dir)
+    rep = withpk.groupBy("cluster_id").agg(
+        F.min("p_partkey").alias("cluster_rep"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return (
+        withpk.join(rep, "cluster_id")
+        .select("p_partkey", "cluster_rep", "cluster_size")
+        .orderBy("p_partkey")
+    )
+
+
+def _fuzzy_parts_withpk(spark, sf_dir):
+    """Shared fuzzy-ER run over part names: normalize → lossless prefix
+    candidates (J ≥ 0.75 bound, see er_cluster_fuzzy_parts) → SQL-twinnable
+    jaccard+lev scorer → clique-contracted CC. Returns
+    (record_id, cluster_id, p_partkey) — consumed by er_cluster_fuzzy_parts
+    and the golden-record survivorship entry so both audit the SAME
+    clustering (their oracles share one CTE chain too)."""
+    from company_name_matching_spark.operators import (
+        clustering,
+        dedup,
+        normalize,
+        scoring,
+    )
+
     p = _t(spark, sf_dir, "part")
     # small parquet arrives as one split; spread the normalize UDF and the
     # downstream prefix-join stages across the cluster
@@ -1406,18 +1432,87 @@ def er_cluster_fuzzy_parts(spark, sf_dir):
     )
     scored = scoring.score_pairs(names, cand, cfg=cfg)
     labels, _ = clustering.cluster_matches(scored, names)
-    withpk = labels.join(
+    return labels.join(
         names.select("record_id", F.col("source_id").cast("long").alias("p_partkey")),
         "record_id",
     )
-    rep = withpk.groupBy("cluster_id").agg(
-        F.min("p_partkey").alias("cluster_rep"),
-        F.count(F.lit(1)).alias("cluster_size"),
+
+
+def er_golden_records_parts(spark, sf_dir):
+    """Survivorship over the fuzzy part clusters — the golden-record table
+    a consumer of the linkage actually reads: per entity cluster, the most
+    frequent raw name (ties → longest → lexicographic), plus member and
+    distinct-name counts. The clustering is the SAME fuzzy run as
+    er_cluster_fuzzy_parts (shared helper; the oracles share the closure
+    CTE chain), so this entry oracle-checks the survivorship window logic
+    end-to-end on top of an already-verified clustering."""
+    from company_name_matching_spark.operators import clustering
+
+    withpk = _fuzzy_parts_withpk(spark, sf_dir)
+    rep = withpk.groupBy("cluster_id").agg(F.min("p_partkey").alias("cluster_rep"))
+    lab = withpk.join(rep, "cluster_id").select("p_partkey", "cluster_rep")
+    p = _t(spark, sf_dir, "part")
+    names = p.select("p_partkey", F.col("p_name").alias("name"))
+    return (
+        clustering.golden_records(
+            lab, names, id_col="p_partkey", cluster_col="cluster_rep"
+        )
+        .select(
+            F.col("cluster_rep").cast("long").alias("cluster_rep"),
+            "canonical_name", "n_records", "n_distinct_names",
+        )
+        .orderBy("cluster_rep")
+    )
+
+
+def er_cluster_stats_docs(spark, sf_dir):
+    """Per-cluster over-merge audit (clustering.cluster_stats) on the
+    jaccard ≥ 0.8 document clusters: size, intra-edge count, edge density,
+    min/mean edge score — the diagnostic that flags transitive chain
+    merges (density ≪ 1). Edges and closure are the SQL-twinned channels
+    er_cluster_jaccard_docs already pins; this entry oracle-checks the
+    stats aggregation itself (decimal-mean rule included)."""
+    from company_name_matching_spark.operators import clustering, dedup
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs_prefix(d, block_col="lang", threshold=0.8)
+    edges = pairs.select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst"), "jaccard"
+    )
+    labels, _ = clustering.connected_components(edges.select("src", "dst"))
+    labels = clustering.attach_singletons(
+        labels, d.select(F.col("doc_id").alias("record_id"))
+    )
+    return clustering.cluster_stats(labels, edges, "jaccard").orderBy("cluster_id")
+
+
+def er_cluster_pivot_docs(spark, sf_dir):
+    """Deterministic parallel PIVOT clustering (ACN'08 3-approx correlation
+    clustering, CDK KDD'14 rounds) over the jaccard ≥ 0.8 document edges —
+    the star-shaped alternative to transitive CC, under a full chained-CTE
+    oracle that replays every round (md5 ranks are cross-engine). The
+    engine raises if the graph doesn't drain within the shared round
+    bound, so oracle and engine can never silently diverge on rounds."""
+    from company_name_matching_spark.operators import clustering, dedup
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs_prefix(d, block_col="lang", threshold=0.8)
+    edges = pairs.select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+    )
+    labels, _ = clustering.pivot_clusters(edges, max_rounds=8)
+    labels = clustering.attach_singletons(
+        labels, d.select(F.col("doc_id").alias("record_id"))
+    )
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
     )
     return (
-        withpk.join(rep, "cluster_id")
-        .select("p_partkey", "cluster_rep", "cluster_size")
-        .orderBy("p_partkey")
+        labels.join(sizes, "cluster_id")
+        .select(
+            F.col("record_id").alias("doc_id"), "cluster_id", "cluster_size"
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -1869,6 +1964,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_cluster_fuzzy_parts": er_cluster_fuzzy_parts,
         "er_cluster_exact_parts": er_cluster_exact_parts,
         "er_cluster_jaccard_docs": er_cluster_jaccard_docs,
+        "er_cluster_pivot_docs": er_cluster_pivot_docs,
+        "er_cluster_stats_docs": er_cluster_stats_docs,
+        "er_golden_records_parts": er_golden_records_parts,
         "er_invariants_parts": er_invariants_parts,
         "fs_match_parts": fs_match_parts,
         "fs_u_probs_parts": fs_u_probs_parts,

@@ -208,6 +208,223 @@ def cluster_matches(matches: DataFrame, names: DataFrame,
     return attach_singletons(expanded, names), rounds
 
 
+def pivot_clusters(
+    edges: DataFrame, max_rounds: int = 12
+) -> tuple[DataFrame, int]:
+    """Deterministic parallel PIVOT clustering — the principled alternative
+    to transitive-closure CC for match graphs (Ailon, Charikar & Newman,
+    JACM'08 3-approximation to correlation clustering; round-parallel
+    local-minimum formulation per Chierichetti, Dalvi & Kumar, "Correlation
+    Clustering in MapReduce", KDD'14).
+
+    Connected components glue chains transitively: A~B~C~...~Z becomes one
+    entity even when A and Z share nothing (the classic ER over-merge).
+    Pivot clustering makes that structurally impossible: every output
+    cluster is a STAR around its pivot — each member is a DIRECT neighbor
+    of the pivot (cluster diameter ≤ 2, pytest-asserted).
+
+    Determinism without randomness (scripts must replay identically across
+    engines and resumes): node rank = ``md5(cast(node as string))``, a
+    fixed pseudo-random total order both Spark and DuckDB compute natively;
+    ranks are a pure FUNCTION of the node id, so no rank column is ever
+    joined around — every consumer recomputes ``F.md5`` inline (whole-stage
+    codegen, zero extra shuffle state).
+
+    Per round, on the active (yet-unclustered) node-induced edge subgraph:
+
+    1. a node is a pivot iff its rank precedes every active neighbor's
+       (isolated actives are trivially pivots) — pivots form an
+       independent set, so no member is ever contested by construction;
+    2. each active non-pivot adjacent to ≥1 pivot joins the minimum-rank
+       adjacent pivot (``min_by``; md5 ranks are unique per id);
+    3. clustered nodes leave; edges are re-induced on the survivors.
+
+    This is exactly the sequential greedy pivot (process nodes in rank
+    order; lowest unclustered node grabs its unclustered neighbors)
+    evaluated in parallel rounds — O(log n) rounds w.h.p. for random
+    ranks. Each round is two hash joins + one aggregation, materialized
+    through the parquet barrier (same iterative-lineage rule as
+    :func:`connected_components`); the only driver state is the per-round
+    count used for loop control. Raises if the graph does not drain
+    within ``max_rounds`` (a silent partial clustering would corrupt
+    downstream survivorship): on deterministic data the round count is
+    deterministic, so callers pin a measured bound.
+
+    Returns (labels(record_id, cluster_id = pivot id), rounds). Nodes
+    absent from ``edges`` are the caller's concern (:func:`attach_singletons`).
+    """
+    from company_name_matching_spark.sources.store import materialize
+
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).dropDuplicates()
+    sym = materialize(
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
+        "pivot_edges",
+    )
+    active = materialize(sym.select(F.col("src").alias("node")).dropDuplicates(),
+                         "pivot_active")
+    spark = edges.sparkSession
+    schema = sym.select(
+        F.col("src").alias("record_id"), F.col("src").alias("cluster_id")
+    ).schema
+    labels = spark.createDataFrame([], schema)
+    rounds = 0
+    rank_of = lambda c: F.md5(F.col(c).cast("string"))  # noqa: E731
+    while rounds < max_rounds:
+        if active.count() == 0:
+            break
+        rounds += 1
+        # 1. min active-neighbor rank per node (sym is active×active here)
+        nb = sym.groupBy("src").agg(F.min(rank_of("dst")).alias("_mn"))
+        piv = (
+            active.join(nb.withColumnRenamed("src", "node"), "node", "left")
+            .where(F.col("_mn").isNull() | (rank_of("node") < F.col("_mn")))
+            .select("node")
+        )
+        # 2. members join the min-rank adjacent pivot
+        memb = (
+            sym.join(piv.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min_by("dst", rank_of("dst")).alias("cluster_id"))
+            .select(F.col("src").alias("node"), "cluster_id")
+        )
+        asg = materialize(
+            piv.select("node", F.col("node").alias("cluster_id")).union(memb),
+            "pivot_asg",
+        )
+        labels = labels.union(
+            asg.select(F.col("node").alias("record_id"), "cluster_id")
+        )
+        # 3. shrink the active set and re-induce the edge subgraph
+        active = materialize(active.join(asg, "node", "left_anti"), "pivot_active")
+        sym = materialize(
+            sym.join(active.withColumnRenamed("node", "src"), "src")
+            .join(active.withColumnRenamed("node", "dst"), "dst")
+            .select("src", "dst"),
+            "pivot_edges",
+        )
+    else:
+        if active.count() > 0:
+            raise RuntimeError(
+                f"pivot_clusters: graph not drained after {max_rounds} rounds"
+            )
+    return materialize(labels, "pivot_labels"), rounds
+
+
+def golden_records(
+    labels: DataFrame,
+    names: DataFrame,
+    id_col: str = "record_id",
+    cluster_col: str = "cluster_id",
+    name_col: str = "name",
+) -> DataFrame:
+    """Survivorship — the golden record a downstream consumer actually
+    reads: one canonical name per entity cluster. Rule (deterministic,
+    classic most-frequent-wins): the cluster's MOST FREQUENT name; ties →
+    LONGEST (more specific legal form survives), then lexicographically
+    smallest. Returns (cluster_id, canonical_name, n_records,
+    n_distinct_names).
+
+    Scale shape: one shuffle to the (cluster, name) frequency cells
+    (map-side combine absorbs duplicates), then a row_number window whose
+    partitions are bounded by distinct names PER CLUSTER (variant groups —
+    tiny), never by corpus size; the size dims ride the same cell table.
+    """
+    from pyspark.sql import Window
+
+    j = labels.select(F.col(id_col), F.col(cluster_col)).join(
+        names.select(F.col(id_col), F.col(name_col)), id_col
+    )
+    per = j.groupBy(cluster_col, name_col).agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col("_c").desc(), F.length(name_col).desc(), F.col(name_col).asc()
+    )
+    best = per.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    sizes = per.groupBy(cluster_col).agg(
+        F.sum("_c").alias("n_records"),
+        F.count(F.lit(1)).alias("n_distinct_names"),
+    )
+    return best.join(sizes, cluster_col).select(
+        cluster_col,
+        F.col(name_col).alias("canonical_name"),
+        "n_records",
+        "n_distinct_names",
+    )
+
+
+def cluster_stats(
+    labels: DataFrame,
+    edges: DataFrame,
+    score_col: str | None = None,
+) -> DataFrame:
+    """Per-cluster over-merge audit: (cluster_id, cluster_size,
+    n_intra_edges, density[, min_edge_score, mean_edge_score]).
+
+    ``density`` = 2E/(n(n-1)) of the cluster's INTRA-cluster match edges —
+    the diagnostic a linkage reviewer thresholds: a transitive-closure
+    cluster at density ≪ 1 is a chain/bridge merge (records glued through
+    intermediaries, most pairs never actually matched), exactly the shape
+    :func:`pivot_clusters` refuses to build. Singleton clusters report
+    density 1.0 (vacuously complete).
+
+    With ``score_col``, min/mean of the intra-edge scores are added —
+    scores are 6dp-rounded then DECIMAL(18,6)-accumulated so the mean is
+    order-independent and a SQL twin reproduces it bit-for-bit (the
+    engine-wide decimal-mean rule). Edges whose endpoints land in
+    DIFFERENT clusters (cut edges — the normal case for pivot clustering,
+    impossible for CC labels) are excluded from every per-cluster figure.
+
+    Scale shape: two label joins to tag edge endpoints, one hash agg per
+    cluster, one label-side size agg — nothing is ever per-pair beyond
+    the edge table itself.
+    """
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    cols = [F.col("src"), F.col("dst")]
+    if score_col:
+        cols.append(F.round(F.col(score_col), 6).alias("_s"))
+    l_lab = labels.select(
+        F.col("record_id").alias("src"), F.col("cluster_id").alias("_cl")
+    )
+    r_lab = labels.select(
+        F.col("record_id").alias("dst"), F.col("cluster_id").alias("_cr")
+    )
+    tagged = (
+        edges.select(*cols)
+        .join(l_lab, "src")
+        .join(r_lab, "dst")
+        .where(F.col("_cl") == F.col("_cr"))
+    )
+    aggs = [F.count(F.lit(1)).alias("n_intra_edges")]
+    if score_col:
+        aggs += [
+            F.min("_s").alias("min_edge_score"),
+            F.round(
+                F.sum(F.col("_s").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_edge_score"),
+        ]
+    estats = tagged.groupBy(F.col("_cl").alias("cluster_id")).agg(*aggs)
+    out = sizes.join(estats, "cluster_id", "left").withColumn(
+        "n_intra_edges", F.coalesce(F.col("n_intra_edges"), F.lit(0))
+    )
+    out = out.withColumn(
+        "density",
+        F.when(F.col("cluster_size") > 1,
+               F.round(
+                   F.lit(2.0) * F.col("n_intra_edges")
+                   / (F.col("cluster_size")
+                      * (F.col("cluster_size") - F.lit(1))),
+                   6,
+               )).otherwise(F.lit(1.0)),
+    )
+    final = ["cluster_id", "cluster_size", "n_intra_edges", "density"]
+    if score_col:
+        final += ["min_edge_score", "mean_edge_score"]
+    return out.select(*final)
+
+
 def bcubed(
     assignments: DataFrame,
     record_col: str = "record_id",

@@ -89,6 +89,131 @@ def _pagerank_sql(iterations: int = 3) -> str:
     )
 
 
+def _fuzzy_parts_cc_ctes() -> str:
+    """Shared CTE chain of the full fuzzy-ER replay over part names
+    (normalize → pair decisions → recursive transitive closure), ending in
+    ``cc(p_partkey, cluster_rep)``. Used by er_cluster_fuzzy_parts and the
+    golden-record survivorship twin so the two oracles can never drift on
+    the clustering they audit."""
+    return f"""n AS (
+                SELECT p_partkey, {clean_name_sql('p_name')} AS mk
+                FROM part
+                WHERE trim(p_name) != ''
+                  AND length(p_name) BETWEEN 3 AND 200
+                  AND NOT regexp_matches(p_name, '^[^a-zA-Z0-9À-ɏḀ-ỿ]+$')
+            ),
+            t AS (
+                SELECT p_partkey, mk,
+                       list_distinct(regexp_split_to_array(mk, '\\s+')) AS toks
+                FROM n WHERE mk != ''
+            ),
+            pairs AS (
+                SELECT l.p_partkey AS a, r.p_partkey AS b
+                FROM t l JOIN t r ON l.p_partkey < r.p_partkey
+                WHERE l.mk = r.mk
+                   OR 0.6 * (CAST(len(l.toks) + len(r.toks)
+                                  - len(list_distinct(l.toks || r.toks)) AS DOUBLE)
+                             / len(list_distinct(l.toks || r.toks)))
+                    + 0.4 * (1.0 - CAST(levenshtein(l.mk, r.mk) AS DOUBLE)
+                             / greatest(length(l.mk), length(r.mk))) >= 0.86
+            ),
+            edges AS (
+                SELECT a AS src, b AS dst FROM pairs
+                UNION
+                SELECT b AS src, a AS dst FROM pairs
+            ),
+            reach(node, lab) AS (
+                SELECT p_partkey, p_partkey FROM t
+                UNION
+                SELECT e.dst AS node, r.lab
+                FROM reach r JOIN edges e ON e.src = r.node
+            ),
+            cc AS (
+                SELECT node AS p_partkey, MIN(lab) AS cluster_rep
+                FROM reach GROUP BY node
+            )"""
+
+
+def _pivot_docs_sql(rounds: int = 8) -> str:
+    """Chained-CTE twin of ``clustering.pivot_clusters`` over the
+    jaccard ≥ 0.8 document edges (same pair SQL as docs_jaccard_neardup).
+
+    rank(node) = md5(cast(id as varchar)) — both engines compute it
+    natively. Round k on the active-induced symmetric edge set ``e{{k}}``:
+    ``piv{{k}}`` = active local-minima (or isolated), ``asg{{k}}`` = pivots
+    to themselves plus members to their arg_min-rank adjacent pivot,
+    ``a{{k+1}}``/``e{{k+1}}`` = survivors. Rounds past the drain point are
+    no-ops, so ``rounds`` is an UPPER bound — and the engine RAISES if it
+    cannot drain within its own bound, so a shortfall can never silently
+    pass the gate. Docs with no edges label themselves (attach_singletons
+    twin)."""
+    ctes = [
+        r"""t AS MATERIALIZED (
+            SELECT doc_id, lang,
+                   list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+            FROM documents
+        )""",
+        """prs AS MATERIALIZED (
+            SELECT l.doc_id AS a, r.doc_id AS b
+            FROM t l JOIN t r ON l.lang = r.lang AND l.doc_id < r.doc_id
+            WHERE CAST(len(l.toks) + len(r.toks) - len(list_distinct(l.toks || r.toks)) AS DOUBLE)
+                  / len(list_distinct(l.toks || r.toks)) >= 0.8
+        )""",
+        """e0 AS MATERIALIZED (
+            SELECT a AS src, b AS dst FROM prs
+            UNION
+            SELECT b AS src, a AS dst FROM prs
+        )""",
+        "a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e0)",
+    ]
+    for k in range(rounds):
+        ctes.append(f"""nb{k} AS MATERIALIZED (
+            SELECT src AS node, MIN(md5(CAST(dst AS VARCHAR))) AS mn
+            FROM e{k} GROUP BY src
+        )""")
+        ctes.append(f"""piv{k} AS MATERIALIZED (
+            SELECT a.node FROM a{k} a LEFT JOIN nb{k} n ON n.node = a.node
+            WHERE n.mn IS NULL OR md5(CAST(a.node AS VARCHAR)) < n.mn
+        )""")
+        ctes.append(f"""asg{k} AS MATERIALIZED (
+            SELECT node, node AS cluster_id FROM piv{k}
+            UNION ALL
+            SELECT e.src AS node,
+                   arg_min(e.dst, md5(CAST(e.dst AS VARCHAR))) AS cluster_id
+            FROM e{k} e JOIN piv{k} p ON p.node = e.dst
+            GROUP BY e.src
+        )""")
+        ctes.append(f"""a{k + 1} AS MATERIALIZED (
+            SELECT a.node FROM a{k} a LEFT JOIN asg{k} s ON s.node = a.node
+            WHERE s.cluster_id IS NULL
+        )""")
+        ctes.append(f"""e{k + 1} AS MATERIALIZED (
+            SELECT e.src, e.dst FROM e{k} e
+            JOIN a{k + 1} s ON s.node = e.src
+            JOIN a{k + 1} d ON d.node = e.dst
+        )""")
+    asg_union = "\n            UNION ALL ".join(
+        f"SELECT node, cluster_id FROM asg{k}" for k in range(rounds)
+    )
+    ctes.append(f"""lab AS MATERIALIZED (
+        {asg_union}
+        UNION ALL
+        SELECT d.doc_id AS node, d.doc_id AS cluster_id
+        FROM documents d LEFT JOIN a0 ON a0.node = d.doc_id
+        WHERE a0.node IS NULL
+    )""")
+    ctes.append("""sz AS MATERIALIZED (
+        SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id
+    )""")
+    return (
+        "WITH " + ",\n        ".join(ctes)
+        + """
+        SELECT l.node AS doc_id, l.cluster_id, s.cluster_size
+        FROM lab l JOIN sz s USING (cluster_id)
+        ORDER BY doc_id"""
+    )
+
+
 from company_name_matching_spark.operators.problink import (  # noqa: E402
     FIELDS as _FS_FIELDS,
     FSConfig as _FSConfig,
@@ -1720,43 +1845,7 @@ def build_oracles() -> dict[str, str]:
         # join is fine at sf0.01 (2000 parts); the engine side proves
         # the same answer from a sub-quadratic lossless plan.
         "er_cluster_fuzzy_parts": f"""
-            WITH RECURSIVE n AS (
-                SELECT p_partkey, {clean_name_sql('p_name')} AS mk
-                FROM part
-                WHERE trim(p_name) != ''
-                  AND length(p_name) BETWEEN 3 AND 200
-                  AND NOT regexp_matches(p_name, '^[^a-zA-Z0-9À-ɏḀ-ỿ]+$')
-            ),
-            t AS (
-                SELECT p_partkey, mk,
-                       list_distinct(regexp_split_to_array(mk, '\\s+')) AS toks
-                FROM n WHERE mk != ''
-            ),
-            pairs AS (
-                SELECT l.p_partkey AS a, r.p_partkey AS b
-                FROM t l JOIN t r ON l.p_partkey < r.p_partkey
-                WHERE l.mk = r.mk
-                   OR 0.6 * (CAST(len(l.toks) + len(r.toks)
-                                  - len(list_distinct(l.toks || r.toks)) AS DOUBLE)
-                             / len(list_distinct(l.toks || r.toks)))
-                    + 0.4 * (1.0 - CAST(levenshtein(l.mk, r.mk) AS DOUBLE)
-                             / greatest(length(l.mk), length(r.mk))) >= 0.86
-            ),
-            edges AS (
-                SELECT a AS src, b AS dst FROM pairs
-                UNION
-                SELECT b AS src, a AS dst FROM pairs
-            ),
-            reach(node, lab) AS (
-                SELECT p_partkey, p_partkey FROM t
-                UNION
-                SELECT e.dst AS node, r.lab
-                FROM reach r JOIN edges e ON e.src = r.node
-            ),
-            cc AS (
-                SELECT node AS p_partkey, MIN(lab) AS cluster_rep
-                FROM reach GROUP BY node
-            )
+            WITH RECURSIVE {_fuzzy_parts_cc_ctes()}
             SELECT CAST(c.p_partkey AS BIGINT) AS p_partkey,
                    CAST(c.cluster_rep AS BIGINT) AS cluster_rep,
                    s.cluster_size
@@ -1766,6 +1855,99 @@ def build_oracles() -> dict[str, str]:
             USING (cluster_rep)
             ORDER BY c.p_partkey
         """,
+        # Golden-record survivorship over the SAME fuzzy closure (shared
+        # CTE chain — the clustering audited here is byte-identical to
+        # er_cluster_fuzzy_parts'): per cluster, most frequent raw p_name,
+        # ties → longest → lexicographically smallest (binary collation
+        # both engines on ASCII part names).
+        "er_golden_records_parts": f"""
+            WITH RECURSIVE {_fuzzy_parts_cc_ctes()},
+            cells AS (
+                SELECT c.cluster_rep, p.p_name AS name, COUNT(*) AS cnt
+                FROM cc c JOIN part p ON p.p_partkey = c.p_partkey
+                GROUP BY 1, 2
+            ),
+            best AS (
+                SELECT cluster_rep, name,
+                       row_number() OVER (
+                           PARTITION BY cluster_rep
+                           ORDER BY cnt DESC, length(name) DESC, name ASC
+                       ) AS rn
+                FROM cells
+            ),
+            sizes AS (
+                SELECT cluster_rep, SUM(cnt) AS n_records,
+                       COUNT(*) AS n_distinct_names
+                FROM cells GROUP BY cluster_rep
+            )
+            SELECT CAST(b.cluster_rep AS BIGINT) AS cluster_rep,
+                   b.name AS canonical_name,
+                   CAST(s.n_records AS BIGINT) AS n_records,
+                   CAST(s.n_distinct_names AS BIGINT) AS n_distinct_names
+            FROM best b JOIN sizes s USING (cluster_rep)
+            WHERE b.rn = 1
+            ORDER BY cluster_rep
+        """,
+        # Per-cluster over-merge audit on the jaccard>=0.8 doc clusters:
+        # same recursive closure as er_cluster_jaccard_docs plus intra-edge
+        # stats. Density doubles mirror the engine op-for-op (2.0 double ×
+        # bigint edge count / bigint pair count); the mean accumulates
+        # 6dp-rounded scores as DECIMAL(18,6) (order-independent) exactly
+        # like clustering.cluster_stats.
+        "er_cluster_stats_docs": r"""
+            WITH RECURSIVE t AS (
+                SELECT doc_id, lang,
+                       list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+                FROM documents
+            ),
+            pairs AS (
+                SELECT l.doc_id AS a, r.doc_id AS b,
+                       round(CAST(len(l.toks) + len(r.toks)
+                                  - len(list_distinct(l.toks || r.toks)) AS DOUBLE)
+                             / len(list_distinct(l.toks || r.toks)), 6) AS s
+                FROM t l JOIN t r ON l.lang = r.lang AND l.doc_id < r.doc_id
+                WHERE CAST(len(l.toks) + len(r.toks) - len(list_distinct(l.toks || r.toks)) AS DOUBLE)
+                      / len(list_distinct(l.toks || r.toks)) >= 0.8
+            ),
+            edges AS (
+                SELECT a AS src, b AS dst FROM pairs
+                UNION
+                SELECT b AS src, a AS dst FROM pairs
+            ),
+            reach(node, lab) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst AS node, r.lab
+                FROM reach r JOIN edges e ON e.src = r.node
+            ),
+            cc AS (
+                SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
+            ),
+            sizes AS (
+                SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id
+            ),
+            es AS (
+                SELECT c.cluster_id,
+                       COUNT(*) AS n_intra_edges,
+                       MIN(round(p.s, 6)) AS min_edge_score,
+                       round(CAST(SUM(CAST(round(p.s, 6) AS DECIMAL(18,6)))
+                                  AS DOUBLE) / COUNT(*), 6) AS mean_edge_score
+                FROM pairs p JOIN cc c ON c.doc_id = p.a
+                GROUP BY c.cluster_id
+            )
+            SELECT s.cluster_id, s.cluster_size,
+                   COALESCE(e.n_intra_edges, 0) AS n_intra_edges,
+                   CASE WHEN s.cluster_size > 1
+                        THEN round(CAST(2.0 AS DOUBLE) * COALESCE(e.n_intra_edges, 0)
+                                   / (s.cluster_size * (s.cluster_size - 1)), 6)
+                        ELSE CAST(1.0 AS DOUBLE) END AS density,
+                   e.min_edge_score, e.mean_edge_score
+            FROM sizes s LEFT JOIN es e USING (cluster_id)
+            ORDER BY s.cluster_id
+        """,
+        # Deterministic parallel pivot clustering (ACN'08 / CDK KDD'14),
+        # replayed round-by-round as chained CTEs — see _pivot_docs_sql.
+        "er_cluster_pivot_docs": _pivot_docs_sql(rounds=8),
         # Fellegi–Sunter over first-sorted-token blocks: every agreement
         # band is integer cross-multiplied, every weight the IDENTICAL
         # 6dp decimal literal the engine embeds (generated above from the

@@ -1,0 +1,178 @@
+"""Pivot clustering, survivorship, and cluster-stats operators
+(clustering.pivot_clusters / golden_records / cluster_stats)."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from company_name_matching_spark.operators import clustering
+
+
+def _pivot_reference(edge_list):
+    """Round-based python simulation of the parallel pivot algorithm with
+    md5(str(node)) ranks — the executable spec the Spark operator must
+    match node-for-node."""
+    adj: dict = {}
+    for a, b in edge_list:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rank = {n: hashlib.md5(str(n).encode()).hexdigest() for n in adj}
+    active = set(adj)
+    labels: dict = {}
+    while active:
+        piv = {
+            n for n in active
+            if all(rank[n] < rank[m] for m in adj[n] if m in active)
+        }
+        newly = set(piv)
+        for p in piv:
+            labels[p] = p
+        for n in active - piv:
+            cands = [m for m in adj[n] if m in piv]
+            if cands:
+                labels[n] = min(cands, key=lambda m: rank[m])
+                newly.add(n)
+        active -= newly
+    return labels
+
+
+def _run_pivot(spark, edge_list, max_rounds=12):
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    labels, rounds = clustering.pivot_clusters(edges, max_rounds=max_rounds)
+    got = {r["record_id"]: r["cluster_id"] for r in labels.collect()}
+    return got, rounds
+
+
+def test_pivot_matches_reference_on_random_graphs(spark):
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        n = 60
+        edge_list = sorted({
+            tuple(sorted(rng.sample(range(n), 2))) for _ in range(120)
+        })
+        want = _pivot_reference(edge_list)
+        got, _ = _run_pivot(spark, edge_list)
+        assert got == want, f"seed {seed}"
+
+
+def test_pivot_clusters_are_stars(spark):
+    """Semantic guarantee vs CC: every member is a DIRECT neighbor of its
+    pivot (diameter <= 2) — chain over-merge is structurally impossible."""
+    rng = random.Random(3)
+    n = 80
+    edge_list = sorted({
+        tuple(sorted(rng.sample(range(n), 2))) for _ in range(150)
+    })
+    got, _ = _run_pivot(spark, edge_list)
+    adj = set(edge_list) | {(b, a) for a, b in edge_list}
+    for node, c in got.items():
+        assert node == c or (node, c) in adj
+    # every node of the graph got exactly one label
+    nodes = {a for e in edge_list for a in e}
+    assert set(got) == nodes
+    # every cluster id is itself a node labeled to itself (a real pivot)
+    for c in set(got.values()):
+        assert got[c] == c
+
+
+def test_pivot_splits_chain_cc_would_merge(spark):
+    """A path graph is ONE component for CC but pivot splits it into
+    stars; with these md5 ranks the 6-chain yields >1 cluster."""
+    chain = [(i, i + 1) for i in range(6)]
+    got, _ = _run_pivot(spark, chain)
+    want = _pivot_reference(chain)
+    assert got == want
+    assert len(set(want.values())) > 1
+
+
+def test_pivot_raises_when_not_drained(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    with pytest.raises(Exception, match="not drained"):
+        clustering.pivot_clusters(edges, max_rounds=0)
+
+
+def test_golden_records_survivorship_rules(spark):
+    labels = spark.createDataFrame(
+        [(i, 1) for i in range(1, 6)] + [(10, 2)],
+        "record_id long, cluster_id long",
+    )
+    names = spark.createDataFrame(
+        [
+            (1, "acme co"),      # freq 2 -> wins cluster 1
+            (2, "acme co"),
+            (3, "acme company"),  # freq 1, longer — loses on frequency
+            (4, "bcme co"),       # freq 1
+            (5, "acme"),          # freq 1
+            (10, "solo ltd"),
+        ],
+        "record_id long, name string",
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in clustering.golden_records(labels, names).collect()
+    }
+    assert out[1]["canonical_name"] == "acme co"
+    assert out[1]["n_records"] == 5
+    assert out[1]["n_distinct_names"] == 4
+    assert out[2]["canonical_name"] == "solo ltd"
+    assert out[2]["n_records"] == 1
+
+
+def test_golden_records_tiebreaks(spark):
+    # all frequency 1: longest wins; equal length: lexicographic smallest
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "record_id long, cluster_id long"
+    )
+    names = spark.createDataFrame(
+        [(1, "bb cc"), (2, "aa cc"), (3, "dd")],
+        "record_id long, name string",
+    )
+    row = clustering.golden_records(labels, names).collect()[0]
+    assert row["canonical_name"] == "aa cc"  # len 5 beats 2; 'aa cc' < 'bb cc'
+
+
+def test_cluster_stats_density_and_cut_edges(spark):
+    # cluster 1 = chain 1-2-3 (CC-style over-merge: density 2/3);
+    # cluster 4 = singleton; edge (3,4) is a CUT edge -> excluded
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "record_id long, cluster_id long"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (3, 4, 0.95)],
+        "src long, dst long, score double",
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in clustering.cluster_stats(labels, edges, "score").collect()
+    }
+    assert out[1]["cluster_size"] == 3
+    assert out[1]["n_intra_edges"] == 2
+    assert out[1]["density"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[1]["min_edge_score"] == pytest.approx(0.8)
+    assert out[1]["mean_edge_score"] == pytest.approx(0.85)
+    assert out[4]["cluster_size"] == 1
+    assert out[4]["n_intra_edges"] == 0
+    assert out[4]["density"] == 1.0
+    assert out[4]["min_edge_score"] is None
+
+
+def test_cluster_stats_cc_labels_have_no_cut_edges(spark):
+    """CC labels over the same edges: every edge is intra; a complete
+    triangle has density 1.0."""
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 1.0)],
+        "src long, dst long, score double",
+    )
+    labels, _ = clustering.connected_components(
+        edges.select("src", "dst"), driver_edge_threshold=0
+    )
+    out = clustering.cluster_stats(labels, edges, "score").collect()
+    assert len(out) == 1
+    assert out[0]["density"] == 1.0
+    assert out[0]["n_intra_edges"] == 3
