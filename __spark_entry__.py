@@ -1698,6 +1698,50 @@ def fs_match_parts(spark, sf_dir):
     ).orderBy("pk_l", "pk_r")
 
 
+def parts_monge_elkan(spark, sf_dir):
+    """Symmetric Monge–Elkan hybrid similarity over first-sorted-token
+    blocked part-name pairs (same pair set as the Fellegi–Sunter entries,
+    SQL-expressible) — the token/char hybrid measure the V13 family lacked.
+    Exact-integer micro-unit accumulation makes the per-pair score
+    bit-identical to the DuckDB twin (see scoring.monge_elkan_col)."""
+    from company_name_matching_spark.operators import blocking, normalize, scoring
+
+    p = _t(spark, sf_dir, "part")
+    names = normalize.normalize_mentions(
+        p.select(F.col("p_partkey").cast("string").alias("pid"),
+                 F.col("p_name").alias("nm")),
+        "pid", "nm",
+    )
+    cfg = blocking.BlockingConfig(
+        channels=("prefix",), prefix_tokens=1, max_block_size=10**6
+    )
+    cand = blocking.candidate_pairs(names, cfg)
+    feat = names.select(
+        "record_id", "tokens", F.col("source_id").cast("long").alias("pk")
+    )
+    pr = (
+        cand.join(
+            feat.select(F.col("record_id").alias("left_id"),
+                        F.col("tokens").alias("l_tokens"),
+                        F.col("pk").alias("l_pk")),
+            "left_id",
+        )
+        .join(
+            feat.select(F.col("record_id").alias("right_id"),
+                        F.col("tokens").alias("r_tokens"),
+                        F.col("pk").alias("r_pk")),
+            "right_id",
+        )
+    )
+    me_lr = scoring.monge_elkan_col(F.col("l_tokens"), F.col("r_tokens"))
+    me_rl = scoring.monge_elkan_col(F.col("r_tokens"), F.col("l_tokens"))
+    return pr.select(
+        F.least("l_pk", "r_pk").alias("pk_l"),
+        F.greatest("l_pk", "r_pk").alias("pk_r"),
+        F.round((me_lr + me_rl) / F.lit(2.0), 6).alias("monge_elkan"),
+    ).orderBy("pk_l", "pk_r")
+
+
 def fs_u_probs_parts(spark, sf_dir):
     """u-probability estimation (chance agreement among non-matches) via
     problink.estimate_u's deterministic shifted pairing — record i paired
@@ -1969,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_golden_records_parts": er_golden_records_parts,
         "er_invariants_parts": er_invariants_parts,
         "fs_match_parts": fs_match_parts,
+        "parts_monge_elkan": parts_monge_elkan,
         "fs_u_probs_parts": fs_u_probs_parts,
         "fs_em_mu_parts": fs_em_mu_parts,
         "er_bcubed_parts": er_bcubed_parts,

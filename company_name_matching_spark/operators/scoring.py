@@ -72,6 +72,49 @@ def trigram_strings_col(col, n: int = 3):
     )
 
 
+def monge_elkan_col(l_toks, r_toks):
+    """Directed Monge–Elkan hybrid similarity (Monge & Elkan '96) as a pure
+    JVM column expression: mean over tokens a ∈ L of the best inner
+    similarity max_{b ∈ R} (1 − lev(a,b)/max(|a|,|b|)) — the classic
+    token-level/char-level hybrid that forgives token reorderings AND
+    per-token typos at once (token-set Jaccard forgives only the former,
+    whole-string Levenshtein only the latter). Symmetrize as
+    ``round((me(L,R) + me(R,L)) / 2.0, 6)``.
+
+    Cross-engine determinism: each per-token maximum is 6dp-rounded then
+    converted to exact integer micro-units (×10⁶, round-to-0dp, cast long)
+    so the fold accumulates LONGS — order-independent, no float-sum drift —
+    and only the final mean divides in doubles (÷10⁶ then ÷|L|, 6dp), the
+    exact op order the DuckDB twin replays. In-row O(|L|·|R|) levenshteins
+    — bounded by name token counts, never corpus size. Empty L or R → 0.0.
+
+    HOF staging rule (textstats.winnow_gram_hashes): pass BOUND columns,
+    not inline expressions — lambdas re-evaluate non-lambda subexpressions
+    per element.
+    """
+    inner = lambda a, b: (  # noqa: E731
+        F.lit(1.0)
+        - F.levenshtein(a, b).cast("double")
+        / F.greatest(F.length(a), F.length(b))
+    )
+    units = F.transform(
+        l_toks,
+        lambda a: F.round(
+            F.round(
+                F.array_max(F.transform(r_toks, lambda b: inner(a, b))), 6
+            ) * F.lit(1000000.0),
+            0,
+        ).cast("long"),
+    )
+    total = F.aggregate(units, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return F.when(
+        (F.size(l_toks) > 0) & (F.size(r_toks) > 0),
+        F.round(
+            total.cast("double") / F.lit(1000000.0) / F.size(l_toks), 6
+        ),
+    ).otherwise(F.lit(0.0))
+
+
 def build_idf(
     names: DataFrame, string_col: str = "match_key", n: int = 3
 ) -> dict:

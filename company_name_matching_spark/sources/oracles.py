@@ -235,6 +235,21 @@ def _fs_weight_sql() -> str:
     return " + ".join(terms)
 
 
+def _me_sql(lt: str, rt: str) -> str:
+    """Directed Monge–Elkan over two token-list columns — the exact twin of
+    ``scoring.monge_elkan_col``: per-token best inner sim
+    (1 − lev/max-len), 6dp-rounded, exact micro-unit longs summed
+    order-independently, final mean divided in doubles in the same op
+    order (÷1e6 then ÷len)."""
+    inner = ("1.0 - CAST(levenshtein(a, b) AS DOUBLE)"
+             " / greatest(length(a), length(b))")
+    per = f"list_max(list_transform({rt}, b -> {inner}))"
+    units = (f"list_transform({lt}, a -> "
+             f"CAST(round(round({per}, 6) * 1000000.0, 0) AS BIGINT))")
+    return (f"round(CAST(list_aggregate({units}, 'sum') AS DOUBLE)"
+            f" / 1000000.0 / len({lt}), 6)")
+
+
 def _fs_levels_ctes() -> str:
     """Shared CTE chain for the Fellegi–Sunter oracles: part names →
     first-sorted-token blocked pairs → integer-decided agreement levels
@@ -1948,6 +1963,31 @@ def build_oracles() -> dict[str, str]:
         # Deterministic parallel pivot clustering (ACN'08 / CDK KDD'14),
         # replayed round-by-round as chained CTEs — see _pivot_docs_sql.
         "er_cluster_pivot_docs": _pivot_docs_sql(rounds=8),
+        # Symmetric Monge–Elkan over the same first-sorted-token blocked
+        # pairs as the FS entries: nested-lambda twin of
+        # scoring.monge_elkan_col (see _me_sql — exact micro-unit sums,
+        # identical double op order in the final means).
+        "parts_monge_elkan": f"""
+            WITH t AS (
+                SELECT p_partkey AS pk, {clean_name_sql('p_name')} AS mk
+                FROM part
+            ),
+            f AS (
+                SELECT pk,
+                       list_distinct(regexp_split_to_array(mk, '\\s+')) AS dt
+                FROM t WHERE mk <> ''
+            ),
+            pr0 AS (
+                SELECT l.pk AS pk_l, r.pk AS pk_r, l.dt AS ldt, r.dt AS rdt
+                FROM f l JOIN f r
+                  ON list_sort(l.dt)[1] = list_sort(r.dt)[1] AND l.pk < r.pk
+            )
+            SELECT CAST(pk_l AS BIGINT) AS pk_l, CAST(pk_r AS BIGINT) AS pk_r,
+                   round(({_me_sql('ldt', 'rdt')} + {_me_sql('rdt', 'ldt')})
+                         / CAST(2.0 AS DOUBLE), 6) AS monge_elkan
+            FROM pr0
+            ORDER BY pk_l, pk_r
+        """,
         # Fellegi–Sunter over first-sorted-token blocks: every agreement
         # band is integer cross-multiplied, every weight the IDENTICAL
         # 6dp decimal literal the engine embeds (generated above from the

@@ -98,3 +98,73 @@ def test_tfidf_vector_and_cosine():
 def test_smooth_idf_monotone():
     assert sim.smooth_idf(1, 100) > sim.smooth_idf(50, 100) > sim.smooth_idf(100, 100)
     assert sim.smooth_idf(100, 100) == pytest.approx(1.0 + math.log(101 / 101))
+
+
+# ---------------------------------------------------------------------------
+# Monge–Elkan hybrid token similarity (scoring.monge_elkan_col)
+# ---------------------------------------------------------------------------
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _round_half_up(x: float, nd: int) -> float:
+    """Spark/DuckDB ``round`` semantics (HALF_UP on the decimal rendering
+    of the double) — python's built-in round is banker's and diverges on
+    exact .5 boundaries like 0.9285715."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _me_ref(A, B):
+    """Python reference of the directed Monge–Elkan with the engine's exact
+    micro-unit arithmetic."""
+    if not A or not B:
+        return 0.0
+    units = 0
+    for a in A:
+        best = max(1.0 - _lev(a, b) / max(len(a), len(b)) for b in B)
+        units += int(_round_half_up(_round_half_up(best, 6) * 1000000.0, 0))
+    return _round_half_up(units / 1000000.0 / len(A), 6)
+
+
+def test_monge_elkan_known_and_random(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from company_name_matching_spark.operators.scoring import monge_elkan_col
+
+    vocab = ["cong", "ty", "tnhh", "thuong", "mai", "acme", "corp",
+             "global", "glbal", "trading", "tradng", "vn"]
+    rng = random.Random(11)
+    rows = [
+        (["acme", "corp"], ["acme", "corp"]),          # identical -> 1.0
+        (["acme", "corp"], ["corp", "acme"]),          # reorder -> 1.0
+        (["acme", "trading"], ["acme", "tradng"]),     # per-token typo
+        (["a"], ["b"]),                                # disjoint singles
+        ([], ["x"]),                                   # empty side -> 0.0
+    ] + [
+        (rng.sample(vocab, rng.randint(1, 5)),
+         rng.sample(vocab, rng.randint(1, 5)))
+        for _ in range(30)
+    ]
+    df = spark.createDataFrame(rows, "l array<string>, r array<string>")
+    got = df.select(
+        monge_elkan_col(F.col("l"), F.col("r")).alias("me")
+    ).collect()
+    for (A, B), row in zip(rows, got):
+        assert row["me"] == _me_ref(A, B), (A, B)
+    # directed asymmetry exists; the symmetrized form is order-free
+    me_ab = _me_ref(["acme"], ["acme", "zzz"])
+    me_ba = _me_ref(["acme", "zzz"], ["acme"])
+    assert me_ab != me_ba
