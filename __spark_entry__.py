@@ -1828,6 +1828,19 @@ def er_ari_parts(spark, sf_dir):
     )
 
 
+def er_vmeasure_parts(spark, sf_dir):
+    """V-measure homogeneity/completeness (clustering.vmeasure, Rosenberg &
+    Hirschberg '07) on the same pred/gold frame as er_bcubed_parts and
+    er_ari_parts — completing the standard cluster-agreement trio. The twin
+    replays every 9dp entropy term and both final ratios op-for-op."""
+    from company_name_matching_spark.operators import clustering
+
+    return clustering.vmeasure(
+        _parts_pred_gold(spark, sf_dir),
+        record_col="record_id", pred_col="pred", gold_col="gold",
+    )
+
+
 def _parts_two_channel_blocks(spark, sf_dir):
     """Shared by the meta-blocking entries: part names + the two
     SQL-expressible block-key channels (first sorted token; first 4 chars
@@ -2018,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_em_mu_parts": fs_em_mu_parts,
         "er_bcubed_parts": er_bcubed_parts,
         "er_ari_parts": er_ari_parts,
+        "er_vmeasure_parts": er_vmeasure_parts,
         "parts_metablocking": parts_metablocking,
         "blocking_quality_parts": blocking_quality_parts,
         "parts_sorted_neighborhood": parts_sorted_neighborhood,

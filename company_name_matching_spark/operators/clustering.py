@@ -501,6 +501,123 @@ def bcubed(
     )
 
 
+def vmeasure(
+    assignments: DataFrame,
+    record_col: str = "record_id",
+    pred_col: str = "cluster_id",
+    gold_col: str = "gold_id",
+) -> DataFrame:
+    """V-measure: homogeneity / completeness / their harmonic mean
+    (Rosenberg & Hirschberg, EMNLP'07) — the entropy-based cluster
+    agreement metric beside :func:`bcubed` (record-averaged) and
+    :func:`rand_scores` (pair-counting), completing the standard trio.
+    h = 1 − H(C|K)/H(C) penalizes clusters that MIX gold classes;
+    c = 1 − H(K|C)/H(K) penalizes gold classes SPLIT across clusters.
+
+    Everything factors through the same (pred, gold) contingency cells as
+    the other two metrics — one shuffle of the assignment table at any
+    scale, cell/size dims bounded by co-occurring labels, never records.
+
+    Cross-engine determinism: each entropy term
+    ``round((c/N)·ln(c/size), 9)`` is a 9dp-rounded double accumulated as
+    DECIMAL(38,9) (order-independent — the engine-wide decimal-sum rule;
+    9dp absorbs last-ulp ``ln`` differences between libm and the JVM),
+    ratios divide the two decimal sums in doubles in a fixed op order,
+    and h/c are 6dp-rounded before the harmonic mean — so a SQL twin
+    reproduces every figure exactly. Degenerate partitions (H = 0: one
+    cluster, or all singleton classes) score 1.0 per the reference
+    definition. One row out: (n_records, homogeneity, completeness,
+    v_measure)."""
+    a = assignments.select(
+        F.col(record_col).alias("_r"),
+        F.col(pred_col).alias("_p"),
+        F.col(gold_col).alias("_g"),
+    )
+    a = a.withColumn(
+        "_p",
+        F.when(
+            F.col("_p").isNull() | F.col("_g").isNull(),
+            F.raise_error(F.lit("vmeasure: NULL cluster or gold label")),
+        ).otherwise(F.col("_p")),
+    )
+    cells = a.groupBy("_p", "_g").agg(F.count(F.lit(1)).alias("_c"))
+    psz = cells.groupBy("_p").agg(F.sum("_c").alias("_np"))
+    gsz = cells.groupBy("_g").agg(F.sum("_c").alias("_ng"))
+    tot = cells.agg(F.sum("_c").alias("_n"))
+
+    def _ent_sum(df, num, den, out):
+        """Σ round((num/N)·ln(num/den), 9) as DECIMAL(38,9) — the (negated)
+        entropy; terms are ≤ 0, signs cancel in the ratios."""
+        t = df.crossJoin(tot).select(
+            F.round(
+                (F.col(num).cast("double") / F.col("_n"))
+                * F.log(F.col(num).cast("double") / F.col(den)),
+                9,
+            ).cast("decimal(38,9)").alias("_t")
+        )
+        return t.agg(F.coalesce(
+            F.sum("_t"), F.lit(0).cast("decimal(38,9)")
+        ).alias(out))
+
+    hck = _ent_sum(cells.join(psz, "_p"), "_c", "_np", "s_ck")   # −H(C|K)
+    # H(C) / H(K): denominator is N itself, so these two inline the term
+    hc = (
+        gsz.crossJoin(tot)
+        .select(
+            F.round(
+                (F.col("_ng").cast("double") / F.col("_n"))
+                * F.log(F.col("_ng").cast("double") / F.col("_n")),
+                9,
+            ).cast("decimal(38,9)").alias("_t")
+        )
+        .agg(F.coalesce(F.sum("_t"), F.lit(0).cast("decimal(38,9)")).alias("s_c"))
+    )
+    hkc = _ent_sum(cells.join(gsz, "_g"), "_c", "_ng", "s_kc")   # −H(K|C)
+    hk = (
+        psz.crossJoin(tot)
+        .select(
+            F.round(
+                (F.col("_np").cast("double") / F.col("_n"))
+                * F.log(F.col("_np").cast("double") / F.col("_n")),
+                9,
+            ).cast("decimal(38,9)").alias("_t")
+        )
+        .agg(F.coalesce(F.sum("_t"), F.lit(0).cast("decimal(38,9)")).alias("s_k"))
+    )
+    j = tot.crossJoin(hck).crossJoin(hc).crossJoin(hkc).crossJoin(hk)
+    h = F.when(F.col("s_c") == 0, F.lit(1.0)).otherwise(
+        F.round(
+            F.lit(1.0)
+            - F.col("s_ck").cast("double") / F.col("s_c").cast("double"),
+            6,
+        )
+    )
+    c = F.when(F.col("s_k") == 0, F.lit(1.0)).otherwise(
+        F.round(
+            F.lit(1.0)
+            - F.col("s_kc").cast("double") / F.col("s_k").cast("double"),
+            6,
+        )
+    )
+    j = j.select(
+        F.col("_n").alias("n_records"),
+        h.alias("homogeneity"),
+        c.alias("completeness"),
+    )
+    return j.withColumn(
+        "v_measure",
+        F.when(
+            F.col("homogeneity") + F.col("completeness") == 0.0, F.lit(0.0)
+        ).otherwise(
+            F.round(
+                F.lit(2.0) * F.col("homogeneity") * F.col("completeness")
+                / (F.col("homogeneity") + F.col("completeness")),
+                6,
+            )
+        ),
+    )
+
+
 def rand_scores(
     assignments: DataFrame,
     record_col: str = "record_id",

@@ -2216,4 +2216,74 @@ def build_oracles() -> dict[str, str]:
                               / CAST(t AS DOUBLE)), 6) AS adjusted_rand
             FROM j
         """,
+        # V-measure (Rosenberg & Hirschberg '07) on the same pred/gold
+        # frame: every entropy term is a 9dp-rounded double accumulated as
+        # DECIMAL(38,9) (order-independent; absorbs last-ulp ln()
+        # differences), ratios and harmonic mean replayed op-for-op —
+        # the exact twin of clustering.vmeasure.
+        "er_vmeasure_parts": f"""
+            WITH a AS (
+                SELECT p_partkey AS pk, {clean_name_sql('p_name')} AS pred,
+                       p_brand AS gold
+                FROM part
+                WHERE {clean_name_sql('p_name')} <> ''
+            ),
+            cells AS (
+                SELECT pred, gold, COUNT(*) AS c FROM a GROUP BY pred, gold
+            ),
+            psz AS (SELECT pred, SUM(c) AS np FROM cells GROUP BY pred),
+            gsz AS (SELECT gold, SUM(c) AS ng FROM cells GROUP BY gold),
+            tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+            sck AS (
+                SELECT COALESCE(SUM(CAST(round(
+                           (CAST(cl.c AS DOUBLE) / t.n)
+                           * ln(CAST(cl.c AS DOUBLE) / p.np), 9)
+                       AS DECIMAL(38,9))), CAST(0 AS DECIMAL(38,9))) AS s_ck
+                FROM cells cl JOIN psz p USING (pred) CROSS JOIN tot t
+            ),
+            sc AS (
+                SELECT COALESCE(SUM(CAST(round(
+                           (CAST(g.ng AS DOUBLE) / t.n)
+                           * ln(CAST(g.ng AS DOUBLE) / t.n), 9)
+                       AS DECIMAL(38,9))), CAST(0 AS DECIMAL(38,9))) AS s_c
+                FROM gsz g CROSS JOIN tot t
+            ),
+            skc AS (
+                SELECT COALESCE(SUM(CAST(round(
+                           (CAST(cl.c AS DOUBLE) / t.n)
+                           * ln(CAST(cl.c AS DOUBLE) / g.ng), 9)
+                       AS DECIMAL(38,9))), CAST(0 AS DECIMAL(38,9))) AS s_kc
+                FROM cells cl JOIN gsz g USING (gold) CROSS JOIN tot t
+            ),
+            sk AS (
+                SELECT COALESCE(SUM(CAST(round(
+                           (CAST(p.np AS DOUBLE) / t.n)
+                           * ln(CAST(p.np AS DOUBLE) / t.n), 9)
+                       AS DECIMAL(38,9))), CAST(0 AS DECIMAL(38,9))) AS s_k
+                FROM psz p CROSS JOIN tot t
+            ),
+            hcv AS (
+                SELECT t.n AS n_records,
+                       CASE WHEN s_c = 0 THEN CAST(1.0 AS DOUBLE)
+                            ELSE round(CAST(1.0 AS DOUBLE)
+                                       - CAST(s_ck AS DOUBLE)
+                                         / CAST(s_c AS DOUBLE), 6)
+                       END AS homogeneity,
+                       CASE WHEN s_k = 0 THEN CAST(1.0 AS DOUBLE)
+                            ELSE round(CAST(1.0 AS DOUBLE)
+                                       - CAST(s_kc AS DOUBLE)
+                                         / CAST(s_k AS DOUBLE), 6)
+                       END AS completeness
+                FROM tot t CROSS JOIN sck CROSS JOIN sc
+                     CROSS JOIN skc CROSS JOIN sk
+            )
+            SELECT n_records, homogeneity, completeness,
+                   CASE WHEN homogeneity + completeness = 0.0
+                        THEN CAST(0.0 AS DOUBLE)
+                        ELSE round(CAST(2.0 AS DOUBLE) * homogeneity
+                                   * completeness
+                                   / (homogeneity + completeness), 6)
+                   END AS v_measure
+            FROM hcv
+        """,
     }

@@ -176,3 +176,78 @@ def test_cluster_stats_cc_labels_have_no_cut_edges(spark):
     assert len(out) == 1
     assert out[0]["density"] == 1.0
     assert out[0]["n_intra_edges"] == 3
+
+
+def _vmeasure_ref(pairs):
+    """(pred, gold) rows -> (h, c, v) with the engine's exact arithmetic."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r(x, nd):
+        return float(Decimal(repr(x)).quantize(
+            Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP))
+
+    cells = Counter(pairs)
+    np_ = Counter(p for p, _ in pairs)
+    ng = Counter(g for _, g in pairs)
+    n = len(pairs)
+    s_ck = sum(Decimal(repr(r((c / n) * math.log(c / np_[p]), 9)))
+               for (p, g), c in cells.items())
+    s_kc = sum(Decimal(repr(r((c / n) * math.log(c / ng[g]), 9)))
+               for (p, g), c in cells.items())
+    s_c = sum(Decimal(repr(r((c / n) * math.log(c / n), 9)))
+              for c in ng.values())
+    s_k = sum(Decimal(repr(r((c / n) * math.log(c / n), 9)))
+              for c in np_.values())
+    h = 1.0 if s_c == 0 else r(1.0 - float(s_ck) / float(s_c), 6)
+    c = 1.0 if s_k == 0 else r(1.0 - float(s_kc) / float(s_k), 6)
+    v = 0.0 if h + c == 0.0 else r(2.0 * h * c / (h + c), 6)
+    return h, c, v
+
+
+def test_vmeasure_perfect_and_degenerate(spark):
+    # perfect clustering -> 1/1/1
+    a = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "b", "y")],
+        "record_id long, pred string, gold string",
+    )
+    row = clustering.vmeasure(a, pred_col="pred", gold_col="gold").collect()[0]
+    assert (row["homogeneity"], row["completeness"], row["v_measure"]) == (
+        1.0, 1.0, 1.0)
+    # everything in ONE cluster: completeness 1 (no class split),
+    # homogeneity 0 (maximal mixing of two equal classes)
+    b = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "a", "y"), (4, "a", "y")],
+        "record_id long, pred string, gold string",
+    )
+    row = clustering.vmeasure(b, pred_col="pred", gold_col="gold").collect()[0]
+    assert row["completeness"] == 1.0
+    assert row["homogeneity"] == 0.0
+    assert row["v_measure"] == 0.0
+
+
+def test_vmeasure_matches_reference_on_random(spark):
+    import random
+
+    rng = random.Random(5)
+    pairs = [(f"p{rng.randint(0, 7)}", f"g{rng.randint(0, 4)}")
+             for _ in range(200)]
+    a = spark.createDataFrame(
+        [(i, p, g) for i, (p, g) in enumerate(pairs)],
+        "record_id long, pred string, gold string",
+    )
+    row = clustering.vmeasure(a, pred_col="pred", gold_col="gold").collect()[0]
+    h, c, v = _vmeasure_ref(pairs)
+    assert (row["homogeneity"], row["completeness"], row["v_measure"]) == (h, c, v)
+    # sanity vs the textbook values (tolerance: our 9dp-term convention)
+    try:
+        from sklearn.metrics import (completeness_score,
+                                     homogeneity_score, v_measure_score)
+    except ImportError:
+        return
+    preds = [p for p, _ in pairs]
+    golds = [g for _, g in pairs]
+    assert abs(row["homogeneity"] - homogeneity_score(golds, preds)) < 1e-5
+    assert abs(row["completeness"] - completeness_score(golds, preds)) < 1e-5
+    assert abs(row["v_measure"] - v_measure_score(golds, preds)) < 1e-5
