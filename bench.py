@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "docs_c4_line_clean",
     "fs_match_parts",
     "parts_metablocking",
+    "er_cluster_pivot_docs",
+    "er_vmeasure_parts",
 ]
 
 
