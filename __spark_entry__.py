@@ -1742,6 +1742,42 @@ def parts_monge_elkan(spark, sf_dir):
     ).orderBy("pk_l", "pk_r")
 
 
+def parts_soft_tfidf(spark, sf_dir):
+    """Symmetrized Soft TF-IDF (scoring.soft_tfidf_pairs, theta=0.9) over
+    the same first-sorted-token blocked pairs as the FS/Monge–Elkan
+    entries — rare-token agreement weighted by corpus IDF with per-token
+    typo forgiveness. The twin replays IDF, decimal L2 norms, and every
+    nano-unit alignment contribution."""
+    from company_name_matching_spark.operators import blocking, normalize, scoring
+
+    p = _t(spark, sf_dir, "part")
+    names = normalize.normalize_mentions(
+        p.select(F.col("p_partkey").cast("string").alias("pid"),
+                 F.col("p_name").alias("nm")),
+        "pid", "nm",
+    )
+    cfg = blocking.BlockingConfig(
+        channels=("prefix",), prefix_tokens=1, max_block_size=10**6
+    )
+    cand = blocking.candidate_pairs(names, cfg)
+    scored = scoring.soft_tfidf_pairs(names, cand)
+    pk = names.select(
+        "record_id", F.col("source_id").cast("long").alias("pk")
+    )
+    return (
+        scored.join(pk.withColumnRenamed("record_id", "left_id")
+                      .withColumnRenamed("pk", "l_pk"), "left_id")
+        .join(pk.withColumnRenamed("record_id", "right_id")
+                .withColumnRenamed("pk", "r_pk"), "right_id")
+        .select(
+            F.least("l_pk", "r_pk").alias("pk_l"),
+            F.greatest("l_pk", "r_pk").alias("pk_r"),
+            "soft_tfidf",
+        )
+        .orderBy("pk_l", "pk_r")
+    )
+
+
 def fs_u_probs_parts(spark, sf_dir):
     """u-probability estimation (chance agreement among non-matches) via
     problink.estimate_u's deterministic shifted pairing — record i paired
@@ -2027,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_invariants_parts": er_invariants_parts,
         "fs_match_parts": fs_match_parts,
         "parts_monge_elkan": parts_monge_elkan,
+        "parts_soft_tfidf": parts_soft_tfidf,
         "fs_u_probs_parts": fs_u_probs_parts,
         "fs_em_mu_parts": fs_em_mu_parts,
         "er_bcubed_parts": er_bcubed_parts,

@@ -115,6 +115,122 @@ def monge_elkan_col(l_toks, r_toks):
     ).otherwise(F.lit(0.0))
 
 
+def soft_tfidf_pairs(
+    names: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "record_id",
+    tokens_col: str = "tokens",
+    theta: float = 0.9,
+) -> DataFrame:
+    """Symmetrized Soft TF-IDF (Cohen, Ravikumar & Fienberg, IIWeb'03) —
+    the second classic hybrid beside :func:`monge_elkan_col`: TF-IDF
+    cosine restricted to CLOSE token pairs. For each token a of one side,
+    find the best inner similarity max_b (1 − lev(a,b)/max|·|); if it
+    exceeds ``theta``, accumulate w(a)·w(b*)·sim, where w are the
+    L2-normalized smooth-IDF token weights (ln((1+N)/(1+df))+1 — the
+    repo-wide sklearn convention, here over whole TOKENS instead of char
+    trigrams). Rewards rare-token agreement (the informative legal-form /
+    brand tokens) while forgiving per-token typos; plain TF-IDF cosine
+    needs exact token equality, plain Monge–Elkan weighs all tokens
+    equally.
+
+    Distributed shape: token DF is one explode + hash agg; per-name
+    weight structs are collected sorted (deterministic); scoring is
+    in-row O(|L|·|R|) over the pair table — same class as Monge–Elkan.
+    The only driver scalar is N (names.count(), bounded).
+
+    Cross-engine exactness: IDF and weights 9dp-rounded; the per-name
+    weight norm accumulates 9dp idf² terms as DECIMAL(38,9) before one
+    sqrt; per-token contributions round to 9dp then convert to exact
+    nano-units summed as longs; the two directed sums symmetrize in one
+    fixed double op order. ``pairs`` is (left_id, right_id); returns
+    (left_id, right_id, soft_tfidf).
+    """
+    n_names = names.count()
+    tok = names.select(
+        F.col(id_col).alias("_id"), F.explode(tokens_col).alias("t")
+    )
+    idf = tok.groupBy("t").agg(
+        F.round(
+            F.log(F.lit(1.0 + n_names) / (F.lit(1.0) + F.count(F.lit(1))))
+            + F.lit(1.0),
+            9,
+        ).alias("idf")
+    )
+    wtok = tok.join(idf, "t")
+    ssq = wtok.groupBy("_id").agg(
+        F.sum(
+            F.round(F.col("idf") * F.col("idf"), 9).cast("decimal(38,9)")
+        ).alias("_ssq")
+    )
+    w = wtok.join(ssq, "_id").select(
+        "_id", "t",
+        F.round(
+            F.col("idf") / F.sqrt(F.col("_ssq").cast("double")), 9
+        ).alias("w"),
+    )
+    warr = w.groupBy("_id").agg(
+        F.sort_array(F.collect_list(F.struct("t", "w"))).alias("tw")
+    )
+
+    def directed_units(lt, rt):
+        """Σ over a ∈ lt of nano-unit contributions against rt (long)."""
+        def per_a(a):
+            sims = F.transform(
+                rt,
+                lambda b: F.struct(
+                    F.round(
+                        F.lit(1.0)
+                        - F.levenshtein(a["t"], b["t"]).cast("double")
+                        / F.greatest(F.length(a["t"]), F.length(b["t"])),
+                        9,
+                    ).alias("s"),
+                    b["w"].alias("w"),
+                ),
+            )
+            best = F.array_max(F.transform(sims, lambda x: x["s"]))
+            # argmax ties: the max weight among best-sim partners (a
+            # deterministic total choice both engines express natively)
+            maxw = F.array_max(
+                F.transform(
+                    F.filter(sims, lambda x: x["s"] == best),
+                    lambda x: x["w"],
+                )
+            )
+            return F.when(
+                best > F.lit(theta),
+                F.round(
+                    F.round(a["w"] * maxw * best, 9) * F.lit(1000000000.0), 0
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+
+        return F.aggregate(
+            F.transform(lt, per_a), F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    pr = (
+        pairs.join(
+            warr.select(F.col("_id").alias("left_id"),
+                        F.col("tw").alias("_ltw")),
+            "left_id",
+        )
+        .join(
+            warr.select(F.col("_id").alias("right_id"),
+                        F.col("tw").alias("_rtw")),
+            "right_id",
+        )
+    )
+    u_lr = directed_units(F.col("_ltw"), F.col("_rtw"))
+    u_rl = directed_units(F.col("_rtw"), F.col("_ltw"))
+    return pr.select(
+        "left_id", "right_id",
+        F.round(
+            (u_lr + u_rl).cast("double") / F.lit(1000000000.0) / F.lit(2.0), 6
+        ).alias("soft_tfidf"),
+    )
+
+
 def build_idf(
     names: DataFrame, string_col: str = "match_key", n: int = 3
 ) -> dict:

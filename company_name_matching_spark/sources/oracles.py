@@ -250,6 +250,24 @@ def _me_sql(lt: str, rt: str) -> str:
             f" / 1000000.0 / len({lt}), 6)")
 
 
+def _stf_dir_sql(lt: str, rt: str) -> str:
+    """Directed Soft-TF-IDF nano-unit sum over struct-lists (t, w) — the
+    exact twin of scoring.soft_tfidf_pairs.directed_units. SQL lambdas
+    have no let-binding, so SIMS/BEST inline repeatedly (in-row cost
+    only; the oracle runs at sf scale)."""
+    sims = ("list_transform({rt}, b -> struct_pack("
+            "s := round(1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)"
+            " / greatest(length(a.t), length(b.t)), 9), w := b.w))"
+            ).format(rt=rt)
+    best = f"list_max(list_transform({sims}, y -> y.s))"
+    maxw = (f"list_max(list_transform(list_filter({sims}, "
+            f"x -> x.s = {best}), z -> z.w))")
+    per_a = (f"CASE WHEN {best} > 0.9 THEN "
+             f"CAST(round(round(a.w * {maxw} * {best}, 9)"
+             f" * 1000000000.0, 0) AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    return f"list_aggregate(list_transform({lt}, a -> {per_a}), 'sum')"
+
+
 def _fs_levels_ctes() -> str:
     """Shared CTE chain for the Fellegi–Sunter oracles: part names →
     first-sorted-token blocked pairs → integer-decided agreement levels
@@ -1985,6 +2003,60 @@ def build_oracles() -> dict[str, str]:
             SELECT CAST(pk_l AS BIGINT) AS pk_l, CAST(pk_r AS BIGINT) AS pk_r,
                    round(({_me_sql('ldt', 'rdt')} + {_me_sql('rdt', 'ldt')})
                          / CAST(2.0 AS DOUBLE), 6) AS monge_elkan
+            FROM pr0
+            ORDER BY pk_l, pk_r
+        """,
+        # Soft TF-IDF (Cohen-Ravikumar-Fienberg '03) over the same blocked
+        # pairs: smooth token IDF (9dp) -> decimal-accumulated L2 norms ->
+        # 9dp weights -> per-token best-alignment contributions in exact
+        # nano-units (see _stf_dir_sql) -> symmetrized in one double op
+        # order. theta = 0.9.
+        "parts_soft_tfidf": f"""
+            WITH t AS (
+                SELECT p_partkey AS pk, {clean_name_sql('p_name')} AS mk
+                FROM part
+            ),
+            f AS (
+                SELECT pk,
+                       list_distinct(regexp_split_to_array(mk, '\\s+')) AS dt
+                FROM t WHERE mk <> ''
+            ),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f),
+            tok AS (SELECT pk, unnest(dt) AS tkn FROM f),
+            idf AS (
+                SELECT tkn,
+                       round(ln((CAST(1.0 AS DOUBLE) + nn.n)
+                                / (CAST(1.0 AS DOUBLE) + COUNT(*)))
+                             + CAST(1.0 AS DOUBLE), 9) AS idf
+                FROM tok CROSS JOIN nn GROUP BY tkn, nn.n
+            ),
+            ssq AS (
+                SELECT pk, SUM(CAST(round(i.idf * i.idf, 9)
+                                    AS DECIMAL(38,9))) AS ssq
+                FROM tok JOIN idf i USING (tkn) GROUP BY pk
+            ),
+            w AS (
+                SELECT tok.pk, tok.tkn,
+                       round(i.idf / sqrt(CAST(s.ssq AS DOUBLE)), 9) AS w
+                FROM tok JOIN idf i USING (tkn) JOIN ssq s USING (pk)
+            ),
+            wa AS (
+                SELECT pk, array_agg(struct_pack(t := tkn, w := w)
+                                     ORDER BY tkn) AS tw
+                FROM w GROUP BY pk
+            ),
+            pr0 AS (
+                SELECT l.pk AS pk_l, r.pk AS pk_r,
+                       wl.tw AS ltw, wr.tw AS rtw
+                FROM f l JOIN f r
+                  ON list_sort(l.dt)[1] = list_sort(r.dt)[1] AND l.pk < r.pk
+                JOIN wa wl ON wl.pk = l.pk
+                JOIN wa wr ON wr.pk = r.pk
+            )
+            SELECT CAST(pk_l AS BIGINT) AS pk_l, CAST(pk_r AS BIGINT) AS pk_r,
+                   round(CAST({_stf_dir_sql('ltw', 'rtw')}
+                              + {_stf_dir_sql('rtw', 'ltw')} AS DOUBLE)
+                         / 1000000000.0 / 2.0, 6) AS soft_tfidf
             FROM pr0
             ORDER BY pk_l, pk_r
         """,

@@ -168,3 +168,67 @@ def test_monge_elkan_known_and_random(spark):
     me_ab = _me_ref(["acme"], ["acme", "zzz"])
     me_ba = _me_ref(["acme", "zzz"], ["acme"])
     assert me_ab != me_ba
+
+
+def test_soft_tfidf_known_and_random(spark):
+    """scoring.soft_tfidf_pairs vs an exact python reference (IDF, decimal
+    L2 norms, nano-unit alignment contributions, symmetrization)."""
+    import math
+    import random
+    from collections import Counter
+    from decimal import Decimal
+
+    from company_name_matching_spark.operators.scoring import soft_tfidf_pairs
+
+    def _r(x, nd):
+        return _round_half_up(x, nd)
+
+    rng = random.Random(23)
+    vocab = ["cong", "ty", "tnhh", "acme", "acmee", "corp", "vn",
+             "global", "glbal", "trading", "tradng"]
+    names = {1: ["acme", "trading", "co"], 2: ["acme", "tradng", "ltd"],
+             3: ["zzz", "co"], 4: ["acme"]}
+    nid = 5
+    for _ in range(20):
+        names[nid] = sorted(set(rng.sample(vocab, rng.randint(1, 4))))
+        nid += 1
+    pair_ids = [(a, b) for a in names for b in names if a < b][:60]
+
+    N = len(names)
+    df_ = Counter(t for toks in names.values() for t in set(toks))
+    idf = {t: _r(math.log((1.0 + N) / (1.0 + c)) + 1.0, 9)
+           for t, c in df_.items()}
+
+    def weights(toks):
+        ssq = sum(Decimal(repr(_r(idf[t] * idf[t], 9))) for t in toks)
+        nm = math.sqrt(float(ssq))
+        return {t: _r(idf[t] / nm, 9) for t in toks}
+
+    def directed(A, B, theta=0.9):
+        wa, wb = weights(A), weights(B)
+        units = 0
+        for a in A:
+            sims = [(_r(1.0 - _lev(a, b) / max(len(a), len(b)), 9), wb[b])
+                    for b in B]
+            best = max(s for s, _ in sims)
+            maxw = max(w for s, w in sims if s == best)
+            if best > theta:
+                units += int(_r(_r(wa[a] * maxw * best, 9) * 1e9, 0))
+        return units
+
+    ndf = spark.createDataFrame(
+        [(k, sorted(set(v))) for k, v in names.items()],
+        "record_id long, tokens array<string>",
+    )
+    pdf = spark.createDataFrame(pair_ids, "left_id long, right_id long")
+    got = {(r.left_id, r.right_id): r.soft_tfidf
+           for r in soft_tfidf_pairs(ndf, pdf).collect()}
+    assert len(got) == len(pair_ids)
+    for (a, b) in pair_ids:
+        A, B = sorted(set(names[a])), sorted(set(names[b]))
+        want = _r((directed(A, B) + directed(B, A)) / 1e9 / 2.0, 6)
+        assert got[(a, b)] == want, (a, b)
+    # rare-token agreement outranks common-token agreement at equal counts
+    # (the property TF-IDF weighting exists for): identical rare pair vs
+    # identical common pair
+    assert idf["zzz"] > idf["acme"]
