@@ -1638,6 +1638,38 @@ def er_cluster_jaccard_docs(spark, sf_dir):
     )
 
 
+def er_cc_objective_docs(spark, sf_dir):
+    """Correlation-clustering objective (Bansal–Blum–Chawla disagreements:
+    cut match edges + co-clustered non-edges) of transitive CC vs pivot
+    clustering on the SAME jaccard ≥ 0.8 document edges — the number that
+    quantifies the trade between the two cluster-formation operators (CC
+    never cuts an edge but pays co-clustered non-edges on chains; pivot
+    cuts a few edges to avoid them). Integer-exact; the oracle replays
+    BOTH labelings over one shared edge CTE."""
+    from company_name_matching_spark.operators import clustering, dedup
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs_prefix(d, block_col="lang", threshold=0.8)
+    edges = pairs.select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+    )
+    allrec = d.select(F.col("doc_id").alias("record_id"))
+    cc, _ = clustering.connected_components(edges)
+    cc = clustering.attach_singletons(cc, allrec)
+    pv, _ = clustering.pivot_clusters(edges, max_rounds=8)
+    pv = clustering.attach_singletons(pv, allrec)
+    occ = clustering.correlation_objective(cc, edges).withColumn(
+        "method", F.lit("cc")
+    )
+    opv = clustering.correlation_objective(pv, edges).withColumn(
+        "method", F.lit("pivot")
+    )
+    return occ.unionByName(opv).select(
+        "method", "n_clusters", "n_edges", "n_intra_edges",
+        "n_disagreements",
+    ).orderBy("method")
+
+
 def _fs_blocked_pair_levels(spark, sf_dir):
     """Shared by the Fellegi–Sunter entries: part names → contracted
     blocking (prefix channel, 1 sorted token, caps disabled so the pair
@@ -2058,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_cluster_exact_parts": er_cluster_exact_parts,
         "er_cluster_jaccard_docs": er_cluster_jaccard_docs,
         "er_cluster_pivot_docs": er_cluster_pivot_docs,
+        "er_cc_objective_docs": er_cc_objective_docs,
         "er_cluster_stats_docs": er_cluster_stats_docs,
         "er_golden_records_parts": er_golden_records_parts,
         "er_invariants_parts": er_invariants_parts,

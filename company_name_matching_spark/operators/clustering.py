@@ -310,6 +310,56 @@ def pivot_clusters(
     return materialize(labels, "pivot_labels"), rounds
 
 
+def correlation_objective(labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """Correlation-clustering disagreement count of a labeling against a
+    match-edge set (the objective pivot clustering 3-approximates, Bansal,
+    Blum & Chawla '04): CUT positive edges (matched pairs split across
+    clusters) + co-clustered NON-edges (pairs glued without a match edge —
+    the over-merge term transitive CC pays on chains).
+
+    Exact integers end to end: n_disagreements =
+    (E − intra) + (Σ_c C(n_c, 2) − intra). One row out:
+    (n_clusters, n_edges, n_intra_edges, n_disagreements). Scale shape:
+    two label joins to tag edges + two bounded aggs — nothing per-pair
+    beyond the edge table; the co-clustered-pair term comes from cluster
+    SIZES, never enumeration."""
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+    l_lab = labels.select(
+        F.col("record_id").alias("src"), F.col("cluster_id").alias("_cl")
+    )
+    r_lab = labels.select(
+        F.col("record_id").alias("dst"), F.col("cluster_id").alias("_cr")
+    )
+    tagged = e.join(l_lab, "src").join(r_lab, "dst")
+    etot = tagged.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(
+            F.when(F.col("_cl") == F.col("_cr"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("_ni"),
+    )
+    ctot = (
+        labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum(
+                (F.col("_n") * (F.col("_n") - 1) / 2).cast("long")
+            ).alias("_copairs"),
+        )
+    )
+    ni = F.coalesce(F.col("_ni"), F.lit(0))
+    return etot.crossJoin(ctot).select(
+        "n_clusters",
+        "n_edges",
+        ni.cast("long").alias("n_intra_edges"),
+        ((F.col("n_edges") - ni) + (F.col("_copairs") - ni))
+        .cast("long").alias("n_disagreements"),
+    )
+
+
 def golden_records(
     labels: DataFrame,
     names: DataFrame,

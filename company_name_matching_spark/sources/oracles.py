@@ -134,9 +134,10 @@ def _fuzzy_parts_cc_ctes() -> str:
             )"""
 
 
-def _pivot_docs_sql(rounds: int = 8) -> str:
+def _pivot_docs_ctes(rounds: int = 8) -> list:
     """Chained-CTE twin of ``clustering.pivot_clusters`` over the
-    jaccard ≥ 0.8 document edges (same pair SQL as docs_jaccard_neardup).
+    jaccard ≥ 0.8 document edges (same pair SQL as docs_jaccard_neardup),
+    through the final ``lab(node, cluster_id)`` labeling CTE.
 
     rank(node) = md5(cast(id as varchar)) — both engines compute it
     natively. Round k on the active-induced symmetric edge set ``e{{k}}``:
@@ -202,15 +203,71 @@ def _pivot_docs_sql(rounds: int = 8) -> str:
         FROM documents d LEFT JOIN a0 ON a0.node = d.doc_id
         WHERE a0.node IS NULL
     )""")
-    ctes.append("""sz AS MATERIALIZED (
+    return ctes
+
+
+def _pivot_docs_sql(rounds: int = 8) -> str:
+    """See :func:`_pivot_docs_ctes`; final projection adds cluster sizes."""
+    ctes = _pivot_docs_ctes(rounds) + [
+        """sz AS MATERIALIZED (
         SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id
-    )""")
+    )"""
+    ]
     return (
         "WITH " + ",\n        ".join(ctes)
         + """
         SELECT l.node AS doc_id, l.cluster_id, s.cluster_size
         FROM lab l JOIN sz s USING (cluster_id)
         ORDER BY doc_id"""
+    )
+
+
+def _cc_objective_sql(rounds: int = 8) -> str:
+    """Correlation-clustering disagreements of BOTH labelings (recursive
+    transitive closure and the chained pivot rounds) over the shared
+    jaccard ≥ 0.8 edge CTEs — the twin of
+    ``clustering.correlation_objective`` run on each method's labels.
+    disagreements = (E − intra) + (Σ C(n_c,2) − intra), all exact
+    integers."""
+    ctes = _pivot_docs_ctes(rounds)
+    ctes.append("""reach(node, labl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst AS node, r.labl
+        FROM reach r JOIN e0 e ON e.src = r.node
+    )""")
+    ctes.append("""ccm AS MATERIALIZED (
+        SELECT node AS doc_id, MIN(labl) AS cluster_id FROM reach GROUP BY node
+    )""")
+
+    def obj(tag, labcte, idcol):
+        return f"""(
+            SELECT '{tag}' AS method,
+                   c.nc AS n_clusters, e.ne AS n_edges,
+                   i.ni AS n_intra_edges,
+                   CAST((e.ne - i.ni) + (s.cp - i.ni) AS BIGINT)
+                     AS n_disagreements
+            FROM (SELECT CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS nc
+                  FROM {labcte}) c,
+                 (SELECT CAST(COUNT(*) AS BIGINT) AS ne FROM prs) e,
+                 (SELECT CAST(COUNT(*) AS BIGINT) AS ni
+                  FROM prs p
+                  JOIN {labcte} x ON x.{idcol} = p.a
+                  JOIN {labcte} y ON y.{idcol} = p.b
+                  WHERE x.cluster_id = y.cluster_id) i,
+                 (SELECT CAST(SUM(CAST(n * (n - 1) / 2 AS BIGINT)) AS BIGINT)
+                    AS cp
+                  FROM (SELECT COUNT(*) AS n FROM {labcte}
+                        GROUP BY cluster_id) z) s
+        )"""
+
+    return (
+        "WITH RECURSIVE " + ",\n        ".join(ctes)
+        + f"""
+        SELECT * FROM {obj('cc', 'ccm', 'doc_id')}
+        UNION ALL
+        SELECT * FROM {obj('pivot', 'lab', 'node')}
+        ORDER BY method"""
     )
 
 
@@ -1979,8 +2036,12 @@ def build_oracles() -> dict[str, str]:
             ORDER BY s.cluster_id
         """,
         # Deterministic parallel pivot clustering (ACN'08 / CDK KDD'14),
-        # replayed round-by-round as chained CTEs — see _pivot_docs_sql.
+        # replayed round-by-round as chained CTEs — see _pivot_docs_ctes.
         "er_cluster_pivot_docs": _pivot_docs_sql(rounds=8),
+        # Correlation-clustering objective of BOTH labelings (recursive
+        # closure + pivot rounds) over one shared edge CTE; disagreements
+        # = cut edges + co-clustered non-edges, exact integers.
+        "er_cc_objective_docs": _cc_objective_sql(rounds=8),
         # Symmetric Monge–Elkan over the same first-sorted-token blocked
         # pairs as the FS entries: nested-lambda twin of
         # scoring.monge_elkan_col (see _me_sql — exact micro-unit sums,

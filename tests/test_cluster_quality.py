@@ -251,3 +251,25 @@ def test_vmeasure_matches_reference_on_random(spark):
     assert abs(row["homogeneity"] - homogeneity_score(golds, preds)) < 1e-5
     assert abs(row["completeness"] - completeness_score(golds, preds)) < 1e-5
     assert abs(row["v_measure"] - v_measure_score(golds, preds)) < 1e-5
+
+
+def test_correlation_objective_hand_computed(spark):
+    # triangle 1-2-3 plus pendant edge 3-4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    # CC labeling: one cluster of 4 -> no cut edges, 2 co-clustered
+    # non-edges ((1,4),(2,4)) -> 2 disagreements
+    cc = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 1)], "record_id long, cluster_id long"
+    )
+    row = clustering.correlation_objective(cc, edges).collect()[0]
+    assert (row["n_clusters"], row["n_edges"], row["n_intra_edges"],
+            row["n_disagreements"]) == (1, 4, 4, 2)
+    # split labeling: {1,2,3} + {4} -> one cut edge, zero non-edges -> 1
+    sp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "record_id long, cluster_id long"
+    )
+    row = clustering.correlation_objective(sp, edges).collect()[0]
+    assert (row["n_clusters"], row["n_edges"], row["n_intra_edges"],
+            row["n_disagreements"]) == (2, 4, 3, 1)
