@@ -475,6 +475,52 @@ def cluster_stats(
     return out.select(*final)
 
 
+def pivot_matches(
+    matches: DataFrame, names: DataFrame, max_rounds: int = 12
+) -> tuple[DataFrame, int]:
+    """Scored pairs (is_match=true) → pivot-clustered labels — the
+    :func:`cluster_matches` counterpart built on :func:`pivot_clusters`
+    instead of transitive closure (pipeline ``cluster_method="pivot"``).
+
+    Exact-duplicate cliques are contracted first exactly as in
+    :func:`cluster_matches` (records sharing a ``match_key`` are provably
+    one entity — contraction is method-independent), pivot runs on the
+    rep graph, and labels expand back through the group map. The star
+    guarantee holds on the REP graph: every rep is a direct match-edge
+    neighbor of its pivot rep; member records inherit via exact-duplicate
+    equivalence. cluster_id is the pivot rep's record_id (deterministic,
+    data-dependent — NOT the component minimum, unlike CC labels)."""
+    from company_name_matching_spark.sources.store import materialize
+
+    groups = names.groupBy("match_key").agg(F.min("record_id").alias("rep"))
+    rep_of = materialize(
+        names.select("record_id", "match_key").join(groups, "match_key")
+        .select("record_id", "rep"),
+        "pivot_repmap",
+    )
+    edges = matches.where(F.col("is_match")).select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+    )
+    l_map = rep_of.select(F.col("record_id").alias("src"), F.col("rep").alias("src_rep"))
+    r_map = rep_of.select(F.col("record_id").alias("dst"), F.col("rep").alias("dst_rep"))
+    rep_edges = (
+        edges.join(l_map, "src").join(r_map, "dst")
+        .where(F.col("src_rep") != F.col("dst_rep"))
+        .select(F.col("src_rep").alias("src"), F.col("dst_rep").alias("dst"))
+    )
+    rep_labels, rounds = pivot_clusters(rep_edges, max_rounds)
+    expanded = (
+        rep_of.join(
+            rep_labels.withColumnRenamed("record_id", "rep"), "rep", "left"
+        )
+        .select(
+            "record_id",
+            F.coalesce(F.col("cluster_id"), F.col("rep")).alias("cluster_id"),
+        )
+    )
+    return attach_singletons(expanded, names), rounds
+
+
 def bcubed(
     assignments: DataFrame,
     record_col: str = "record_id",

@@ -44,6 +44,14 @@ class PipelineConfig:
     # size gate for the driver union-find CC fast path (0 = always iterate
     # distributed; see clustering.connected_components)
     cc_driver_edge_threshold: int = 1_000_000
+    # "cc" = transitive connected components (reference semantics);
+    # "pivot" = ACN pivot clustering — star clusters, no chain over-merge
+    # (clustering.pivot_matches). Validated in run_pipeline.
+    cluster_method: str = "cc"
+    pivot_max_rounds: int = 12
+    # also emit the golden-record survivorship table (one canonical name
+    # per cluster) as a checkpointed "golden" stage / PipelineResult.golden
+    emit_golden: bool = False
 
 
 @dataclass
@@ -54,6 +62,7 @@ class PipelineResult:
     clusters: DataFrame
     metrics: list[dict]
     cc_rounds: int = 0
+    golden: DataFrame | None = None
 
 
 class _Checkpointer:
@@ -172,19 +181,33 @@ def run_pipeline(
 
     matches = ck.run("score", _score)
 
+    if cfg.cluster_method not in ("cc", "pivot"):
+        raise ValueError(
+            f"cluster_method must be 'cc' or 'pivot'; got {cfg.cluster_method!r}"
+        )
     cc_rounds = 0
 
     def _cluster():
         nonlocal cc_rounds
-        clusters, cc_rounds = clustering.cluster_matches(
-            matches, names, cfg.max_cc_iterations,
-            cfg.cc_driver_edge_threshold,
-        )
+        if cfg.cluster_method == "pivot":
+            clusters, cc_rounds = clustering.pivot_matches(
+                matches, names, cfg.pivot_max_rounds
+            )
+        else:
+            clusters, cc_rounds = clustering.cluster_matches(
+                matches, names, cfg.max_cc_iterations,
+                cfg.cc_driver_edge_threshold,
+            )
         return clusters
 
     clusters = ck.run("cluster", _cluster)
+    golden = None
+    if cfg.emit_golden:
+        golden = ck.run(
+            "golden", lambda: clustering.golden_records(clusters, names)
+        )
     ck.flush_metrics()
     return PipelineResult(
         names=names, pairs=pairs, matches=matches, clusters=clusters,
-        metrics=ck.metrics, cc_rounds=cc_rounds,
+        metrics=ck.metrics, cc_rounds=cc_rounds, golden=golden,
     )

@@ -40,11 +40,19 @@ def main() -> None:
     ap.add_argument("--output", default=None)
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--cluster-method", choices=("cc", "pivot"), default="cc",
+                    help="transitive components (reference semantics) or "
+                         "ACN pivot clustering (star clusters, no chain "
+                         "over-merge)")
+    ap.add_argument("--golden", action="store_true",
+                    help="also emit the golden-record survivorship table")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
-    from company_name_matching_spark.plans.pipeline import run_pipeline
+    from company_name_matching_spark.plans.pipeline import (
+        PipelineConfig, run_pipeline,
+    )
     from company_name_matching_spark.sources import fixtures
 
     # under spark-submit a session already exists; standalone, build one
@@ -68,7 +76,10 @@ def main() -> None:
         ap.error("need --input or --fixture-pages")
 
     t0 = time.monotonic()
-    res = run_pipeline(spark, pages, checkpoint_dir=args.checkpoint)
+    cfg = PipelineConfig(
+        cluster_method=args.cluster_method, emit_golden=args.golden
+    )
+    res = run_pipeline(spark, pages, checkpoint_dir=args.checkpoint, cfg=cfg)
     pairs = res.matches.count()
     clusters = res.clusters.select("cluster_id").distinct().count()
     sec = time.monotonic() - t0

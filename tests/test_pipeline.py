@@ -160,3 +160,53 @@ def test_pipeline_degenerate_inputs(spark):
         assert (got_c, got_m) == (want_clusters, want_matches), (
             f"{name}: got clusters={got_c} matches={got_m}"
         )
+
+
+def test_pipeline_pivot_method_and_golden(spark):
+    """cluster_method='pivot' + emit_golden: labels well-formed (one label
+    per record, exact-duplicate groups never split, every cluster id is a
+    member of its own cluster), and the golden table is one canonical row
+    per cluster whose member counts sum to the corpus."""
+    from company_name_matching_spark.plans.pipeline import (
+        PipelineConfig, run_pipeline,
+    )
+
+    pages = fixtures.pages_dataframe(spark, n_companies=40, per_company=4)
+    cfg = PipelineConfig(cluster_method="pivot", emit_golden=True)
+    res = run_pipeline(spark, pages, cfg=cfg)
+    rows = res.clusters.collect()
+    n_pages = pages.count()
+    assert len(rows) == n_pages
+    assert len({r.record_id for r in rows}) == n_pages
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r.cluster_id, set()).add(r.record_id)
+    # every cluster id labels itself (a real pivot / self-cluster)
+    for cid, members in by_c.items():
+        assert cid in members
+    # exact-duplicate groups co-cluster
+    mk = {r.record_id: r.match_key
+          for r in res.names.select("record_id", "match_key").collect()}
+    lab = {r.record_id: r.cluster_id for r in rows}
+    from collections import defaultdict
+    groups = defaultdict(set)
+    for rid, k in mk.items():
+        groups[k].add(lab[rid])
+    assert all(len(v) == 1 for v in groups.values())
+    # golden: one row per cluster, membership accounted exactly
+    g = res.golden.collect()
+    assert len(g) == len(by_c)
+    assert sum(r.n_records for r in g) == n_pages
+    assert all(r.canonical_name for r in g)
+
+
+def test_pipeline_rejects_unknown_cluster_method(spark):
+    import pytest as _pytest
+
+    from company_name_matching_spark.plans.pipeline import (
+        PipelineConfig, run_pipeline,
+    )
+
+    pages = fixtures.pages_dataframe(spark, n_companies=5, per_company=2)
+    with _pytest.raises(ValueError, match="cluster_method"):
+        run_pipeline(spark, pages, cfg=PipelineConfig(cluster_method="x"))
