@@ -273,3 +273,20 @@ def test_correlation_objective_hand_computed(spark):
     row = clustering.correlation_objective(sp, edges).collect()[0]
     assert (row["n_clusters"], row["n_edges"], row["n_intra_edges"],
             row["n_disagreements"]) == (2, 4, 3, 1)
+
+
+def test_pivot_deterministic_under_repartition(spark):
+    """Labels are a pure function of the graph (md5 ranks + min_by), so
+    partitioning must not change a single assignment."""
+    rng = __import__("random").Random(9)
+    n = 70
+    edge_list = sorted({
+        tuple(sorted(rng.sample(range(n), 2))) for _ in range(140)
+    })
+    e1 = spark.createDataFrame(edge_list, "src long, dst long").repartition(1)
+    e13 = spark.createDataFrame(edge_list, "src long, dst long").repartition(13)
+    l1, r1 = clustering.pivot_clusters(e1)
+    l13, r13 = clustering.pivot_clusters(e13)
+    assert r1 == r13
+    assert {(r.record_id, r.cluster_id) for r in l1.collect()} == \
+           {(r.record_id, r.cluster_id) for r in l13.collect()}
