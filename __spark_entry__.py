@@ -1810,6 +1810,41 @@ def parts_soft_tfidf(spark, sf_dir):
     )
 
 
+def parts_weighted_jaccard(spark, sf_dir):
+    """IDF-weighted token Jaccard (scoring.weighted_jaccard_pairs) over the
+    same first-sorted-token blocked pairs — rare-token overlap dominates;
+    exact via integer nano-unit intersection/union sums (one double
+    division at the end, replayed op-for-op by the twin)."""
+    from company_name_matching_spark.operators import blocking, normalize, scoring
+
+    p = _t(spark, sf_dir, "part")
+    names = normalize.normalize_mentions(
+        p.select(F.col("p_partkey").cast("string").alias("pid"),
+                 F.col("p_name").alias("nm")),
+        "pid", "nm",
+    )
+    cfg = blocking.BlockingConfig(
+        channels=("prefix",), prefix_tokens=1, max_block_size=10**6
+    )
+    cand = blocking.candidate_pairs(names, cfg)
+    scored = scoring.weighted_jaccard_pairs(names, cand)
+    pk = names.select(
+        "record_id", F.col("source_id").cast("long").alias("pk")
+    )
+    return (
+        scored.join(pk.withColumnRenamed("record_id", "left_id")
+                      .withColumnRenamed("pk", "l_pk"), "left_id")
+        .join(pk.withColumnRenamed("record_id", "right_id")
+                .withColumnRenamed("pk", "r_pk"), "right_id")
+        .select(
+            F.least("l_pk", "r_pk").alias("pk_l"),
+            F.greatest("l_pk", "r_pk").alias("pk_r"),
+            "weighted_jaccard",
+        )
+        .orderBy("pk_l", "pk_r")
+    )
+
+
 def fs_u_probs_parts(spark, sf_dir):
     """u-probability estimation (chance agreement among non-matches) via
     problink.estimate_u's deterministic shifted pairing — record i paired
@@ -2097,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_match_parts": fs_match_parts,
         "parts_monge_elkan": parts_monge_elkan,
         "parts_soft_tfidf": parts_soft_tfidf,
+        "parts_weighted_jaccard": parts_weighted_jaccard,
         "fs_u_probs_parts": fs_u_probs_parts,
         "fs_em_mu_parts": fs_em_mu_parts,
         "er_bcubed_parts": er_bcubed_parts,

@@ -115,6 +115,91 @@ def monge_elkan_col(l_toks, r_toks):
     ).otherwise(F.lit(0.0))
 
 
+def _token_idf(names: DataFrame, id_col: str, tokens_col: str):
+    """(per-record exploded tokens, smooth token IDF 9dp) — shared by the
+    token-weighted pair measures. IDF = round(ln((1+N)/(1+df)) + 1, 9),
+    the repo-wide sklearn convention over whole tokens."""
+    n_names = names.count()
+    tok = names.select(
+        F.col(id_col).alias("_id"), F.explode(tokens_col).alias("t")
+    )
+    idf = tok.groupBy("t").agg(
+        F.round(
+            F.log(F.lit(1.0 + n_names) / (F.lit(1.0) + F.count(F.lit(1))))
+            + F.lit(1.0),
+            9,
+        ).alias("idf")
+    )
+    return tok, idf
+
+
+def weighted_jaccard_pairs(
+    names: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "record_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """IDF-weighted token Jaccard: Σ_{t∈A∩B} idf(t) / Σ_{t∈A∪B} idf(t) —
+    plain Jaccard counts every token once, so ubiquitous legal-form
+    tokens ('tnhh', 'co') vote as loudly as the distinguishing brand
+    token; weighting by corpus IDF makes rare-token overlap dominate.
+    The third token-weighting channel beside :func:`monge_elkan_col`
+    (unweighted, typo-forgiving) and :func:`soft_tfidf_pairs` (weighted
+    AND typo-forgiving).
+
+    Exactness: each token's 9dp IDF becomes exact integer nano-units, so
+    intersection and union sums are LONGS (union = totA + totB − inter,
+    inclusion–exclusion on the distinct token sets) and the single final
+    division is one double op both engines replay. In-row O(|L|·|R|)
+    membership tests; one explode+agg for IDF. Returns
+    (left_id, right_id, weighted_jaccard)."""
+    tok, idf = _token_idf(names, id_col, tokens_col)
+    units = tok.join(idf, "t").select(
+        "_id", "t",
+        F.round(F.col("idf") * F.lit(1000000000.0), 0).cast("long").alias("u"),
+    )
+    warr = units.groupBy("_id").agg(
+        F.sort_array(F.collect_list(F.struct("t", "u"))).alias("tw"),
+        F.sum("u").alias("tot"),
+    )
+
+    def inter_units(lt, rt):
+        return F.aggregate(
+            F.transform(
+                lt,
+                lambda a: F.when(
+                    F.exists(rt, lambda b: b["t"] == a["t"]), a["u"]
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    pr = (
+        pairs.join(
+            warr.select(F.col("_id").alias("left_id"),
+                        F.col("tw").alias("_ltw"),
+                        F.col("tot").alias("_ltot")),
+            "left_id",
+        )
+        .join(
+            warr.select(F.col("_id").alias("right_id"),
+                        F.col("tw").alias("_rtw"),
+                        F.col("tot").alias("_rtot")),
+            "right_id",
+        )
+    )
+    iu = inter_units(F.col("_ltw"), F.col("_rtw"))
+    pr = pr.withColumn("_iu", iu)
+    au = F.col("_ltot") + F.col("_rtot") - F.col("_iu")
+    return pr.select(
+        "left_id", "right_id",
+        F.round(
+            F.col("_iu").cast("double") / au.cast("double"), 6
+        ).alias("weighted_jaccard"),
+    )
+
+
 def soft_tfidf_pairs(
     names: DataFrame,
     pairs: DataFrame,
@@ -146,17 +231,7 @@ def soft_tfidf_pairs(
     fixed double op order. ``pairs`` is (left_id, right_id); returns
     (left_id, right_id, soft_tfidf).
     """
-    n_names = names.count()
-    tok = names.select(
-        F.col(id_col).alias("_id"), F.explode(tokens_col).alias("t")
-    )
-    idf = tok.groupBy("t").agg(
-        F.round(
-            F.log(F.lit(1.0 + n_names) / (F.lit(1.0) + F.count(F.lit(1))))
-            + F.lit(1.0),
-            9,
-        ).alias("idf")
-    )
+    tok, idf = _token_idf(names, id_col, tokens_col)
     wtok = tok.join(idf, "t")
     ssq = wtok.groupBy("_id").agg(
         F.sum(

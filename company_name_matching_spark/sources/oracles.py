@@ -2121,6 +2121,65 @@ def build_oracles() -> dict[str, str]:
             FROM pr0
             ORDER BY pk_l, pk_r
         """,
+        # IDF-weighted token Jaccard over the same blocked pairs: 9dp
+        # token IDF -> exact nano-units; intersection by membership,
+        # union by inclusion-exclusion on per-name totals (distinct token
+        # sets); ONE double division at the end.
+        "parts_weighted_jaccard": f"""
+            WITH t AS (
+                SELECT p_partkey AS pk, {clean_name_sql('p_name')} AS mk
+                FROM part
+            ),
+            f AS (
+                SELECT pk,
+                       list_distinct(regexp_split_to_array(mk, '\\s+')) AS dt
+                FROM t WHERE mk <> ''
+            ),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f),
+            tok AS (SELECT pk, unnest(dt) AS tkn FROM f),
+            idf AS (
+                SELECT tkn,
+                       round(ln((CAST(1.0 AS DOUBLE) + nn.n)
+                                / (CAST(1.0 AS DOUBLE) + COUNT(*)))
+                             + CAST(1.0 AS DOUBLE), 9) AS idf
+                FROM tok CROSS JOIN nn GROUP BY tkn, nn.n
+            ),
+            u AS (
+                SELECT tok.pk, tok.tkn,
+                       CAST(round(i.idf * 1000000000.0, 0) AS BIGINT) AS un
+                FROM tok JOIN idf i USING (tkn)
+            ),
+            wa AS (
+                SELECT pk,
+                       array_agg(struct_pack(t := tkn, u := un)
+                                 ORDER BY tkn) AS tw,
+                       CAST(SUM(un) AS BIGINT) AS tot
+                FROM u GROUP BY pk
+            ),
+            pr0 AS (
+                SELECT l.pk AS pk_l, r.pk AS pk_r,
+                       wl.tw AS ltw, wr.tw AS rtw,
+                       wl.tot AS ltot, wr.tot AS rtot
+                FROM f l JOIN f r
+                  ON list_sort(l.dt)[1] = list_sort(r.dt)[1] AND l.pk < r.pk
+                JOIN wa wl ON wl.pk = l.pk
+                JOIN wa wr ON wr.pk = r.pk
+            ),
+            iu AS (
+                SELECT pk_l, pk_r, ltot, rtot,
+                       CAST(list_aggregate(list_transform(ltw, a ->
+                           CASE WHEN len(list_filter(rtw, b -> b.t = a.t)) > 0
+                                THEN a.u ELSE CAST(0 AS BIGINT) END),
+                           'sum') AS BIGINT) AS inter_u
+                FROM pr0
+            )
+            SELECT CAST(pk_l AS BIGINT) AS pk_l, CAST(pk_r AS BIGINT) AS pk_r,
+                   round(CAST(inter_u AS DOUBLE)
+                         / CAST(ltot + rtot - inter_u AS DOUBLE), 6)
+                     AS weighted_jaccard
+            FROM iu
+            ORDER BY pk_l, pk_r
+        """,
         # Fellegi–Sunter over first-sorted-token blocks: every agreement
         # band is integer cross-multiplied, every weight the IDENTICAL
         # 6dp decimal literal the engine embeds (generated above from the

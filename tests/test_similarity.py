@@ -232,3 +232,53 @@ def test_soft_tfidf_known_and_random(spark):
     # (the property TF-IDF weighting exists for): identical rare pair vs
     # identical common pair
     assert idf["zzz"] > idf["acme"]
+
+
+def test_weighted_jaccard_known_and_random(spark):
+    """scoring.weighted_jaccard_pairs vs an exact nano-unit python
+    reference; rare-token overlap must outrank common-token overlap."""
+    import math
+    import random
+    from collections import Counter
+
+    from company_name_matching_spark.operators.scoring import (
+        weighted_jaccard_pairs,
+    )
+
+    rng = random.Random(31)
+    vocab = ["tnhh", "co", "acme", "zenit", "corp", "vn", "global",
+             "trading", "xyz"]
+    names = {1: ["tnhh", "co", "acme"], 2: ["tnhh", "co", "zenit"],
+             3: ["acme", "zenit"], 4: ["tnhh", "co"]}
+    nid = 5
+    for _ in range(15):
+        names[nid] = sorted(set(rng.sample(vocab, rng.randint(1, 4))))
+        nid += 1
+    pair_ids = [(a, b) for a in names for b in names if a < b][:50]
+
+    N = len(names)
+    df_ = Counter(t for toks in names.values() for t in set(toks))
+    idf = {t: _round_half_up(math.log((1.0 + N) / (1.0 + c)) + 1.0, 9)
+           for t, c in df_.items()}
+    un = {t: int(_round_half_up(v * 1e9, 0)) for t, v in idf.items()}
+
+    def ref(A, B):
+        sa, sb = set(A), set(B)
+        iu = sum(un[t] for t in sa & sb)
+        au = sum(un[t] for t in sa) + sum(un[t] for t in sb) - iu
+        return _round_half_up(iu / au, 6)
+
+    ndf = spark.createDataFrame(
+        [(k, sorted(set(v))) for k, v in names.items()],
+        "record_id long, tokens array<string>",
+    )
+    pdf = spark.createDataFrame(pair_ids, "left_id long, right_id long")
+    got = {(r.left_id, r.right_id): r.weighted_jaccard
+           for r in weighted_jaccard_pairs(ndf, pdf).collect()}
+    for ab in pair_ids:
+        assert got[ab] == ref(names[ab[0]], names[ab[1]]), ab
+    # the weighting property: rarer tokens carry strictly more weight
+    rarest = min(df_, key=lambda t: (df_[t], t))
+    commonest = max(df_, key=lambda t: (df_[t], t))
+    assert df_[rarest] < df_[commonest]
+    assert idf[rarest] > idf[commonest]
