@@ -1638,6 +1638,29 @@ def er_cluster_jaccard_docs(spark, sf_dir):
     )
 
 
+def docs_sparsify_edges(spark, sf_dir):
+    """Mutual top-3 kNN sparsification (clustering.sparsify_edges) of the
+    jaccard ≥ 0.8 document match edges — the web-scale degree cap applied
+    before clustering; the twin replays the per-node ranking window and
+    the two-vote mutuality rule exactly."""
+    from company_name_matching_spark.operators import clustering, dedup
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs_prefix(d, block_col="lang", threshold=0.8)
+    edges = pairs.select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst"),
+        "jaccard",
+    )
+    return (
+        clustering.sparsify_edges(edges, "jaccard", k=3, mode="mutual")
+        .select(
+            F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"),
+            "jaccard",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def er_cc_objective_docs(spark, sf_dir):
     """Correlation-clustering objective (Bansal–Blum–Chawla disagreements:
     cut match edges + co-clustered non-edges) of transitive CC vs pivot
@@ -2126,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_cluster_jaccard_docs": er_cluster_jaccard_docs,
         "er_cluster_pivot_docs": er_cluster_pivot_docs,
         "er_cc_objective_docs": er_cc_objective_docs,
+        "docs_sparsify_edges": docs_sparsify_edges,
         "er_cluster_stats_docs": er_cluster_stats_docs,
         "er_golden_records_parts": er_golden_records_parts,
         "er_invariants_parts": er_invariants_parts,

@@ -310,6 +310,66 @@ def pivot_clusters(
     return materialize(labels, "pivot_labels"), rounds
 
 
+def sparsify_edges(
+    edges: DataFrame,
+    score_col: str,
+    k: int = 10,
+    mode: str = "mutual",
+) -> DataFrame:
+    """Top-k-per-node sparsification of a scored match-edge set — the
+    standard web-scale move before clustering: a hub record (template
+    chrome, generic name) can carry millions of match edges, and both CC
+    (star aggregation on the hot node) and pivot (one cluster absorbing
+    the hub's whole neighborhood) pay for every one. Keep only each
+    node's ``k`` best edges (score desc, neighbor-id asc on ties —
+    deterministic cross-engine):
+
+    * ``mode="mutual"`` — edge kept iff it is top-k for BOTH endpoints:
+      bounds every node's surviving degree at ``k`` (the strict skew cap);
+    * ``mode="union"`` — kept iff top-k for EITHER endpoint: preserves
+      connectivity better (a weak node keeps its best link to a strong
+      neighbor) but a hub chosen by many keeps an unbounded in-degree —
+      use when recall matters more than the degree bound.
+
+    One symmetric fan-out + one row_number window partitioned by node —
+    no per-pair state beyond the edge table. Returns the kept canonical
+    (src, dst, score) rows, a subset of the input."""
+    if mode not in ("mutual", "union"):
+        raise ValueError(f"mode must be 'mutual' or 'union'; got {mode!r}")
+    from pyspark.sql import Window
+
+    # canonicalize FIRST (an input carrying both (a,b) and (b,a) would
+    # otherwise double every vote), then fan out symmetrically once
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            F.col(score_col).alias("_s"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    sym = canon.union(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "_s")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("_s").desc(), F.col("dst").asc())
+    kept = (
+        sym.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_votes"))
+    )
+    need = 2 if mode == "mutual" else 1
+    return (
+        canon.join(kept.where(F.col("_votes") >= need), ["src", "dst"])
+        .select("src", "dst", F.col("_s").alias(score_col))
+    )
+
+
 def correlation_objective(labels: DataFrame, edges: DataFrame) -> DataFrame:
     """Correlation-clustering disagreement count of a labeling against a
     match-edge set (the objective pivot clustering 3-approximates, Bansal,

@@ -2042,6 +2042,46 @@ def build_oracles() -> dict[str, str]:
         # closure + pivot rounds) over one shared edge CTE; disagreements
         # = cut edges + co-clustered non-edges, exact integers.
         "er_cc_objective_docs": _cc_objective_sql(rounds=8),
+        # Mutual top-3 kNN edge sparsification: per-node ranking window
+        # (score desc, neighbor asc) over the symmetric fan-out; an edge
+        # survives with two votes (top-k for BOTH endpoints).
+        "docs_sparsify_edges": r"""
+            WITH t AS (
+                SELECT doc_id, lang,
+                       list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+                FROM documents
+            ),
+            pairs AS (
+                SELECT l.doc_id AS a, r.doc_id AS b,
+                       round(CAST(len(l.toks) + len(r.toks)
+                                  - len(list_distinct(l.toks || r.toks)) AS DOUBLE)
+                             / len(list_distinct(l.toks || r.toks)), 6) AS s
+                FROM t l JOIN t r ON l.lang = r.lang AND l.doc_id < r.doc_id
+                WHERE CAST(len(l.toks) + len(r.toks) - len(list_distinct(l.toks || r.toks)) AS DOUBLE)
+                      / len(list_distinct(l.toks || r.toks)) >= 0.8
+            ),
+            sym AS (
+                SELECT a AS src, b AS dst, s FROM pairs
+                UNION ALL
+                SELECT b AS src, a AS dst, s FROM pairs
+            ),
+            rk AS (
+                SELECT src, dst,
+                       row_number() OVER (
+                           PARTITION BY src ORDER BY s DESC, dst ASC
+                       ) AS rn
+                FROM sym
+            ),
+            votes AS (
+                SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                       COUNT(*) AS v
+                FROM rk WHERE rn <= 3 GROUP BY 1, 2
+            )
+            SELECT p.a AS doc_a, p.b AS doc_b, p.s AS jaccard
+            FROM pairs p JOIN votes v ON v.a = p.a AND v.b = p.b
+            WHERE v.v >= 2
+            ORDER BY doc_a, doc_b
+        """,
         # Symmetric Monge–Elkan over the same first-sorted-token blocked
         # pairs as the FS entries: nested-lambda twin of
         # scoring.monge_elkan_col (see _me_sql — exact micro-unit sums,

@@ -290,3 +290,29 @@ def test_pivot_deterministic_under_repartition(spark):
     assert r1 == r13
     assert {(r.record_id, r.cluster_id) for r in l1.collect()} == \
            {(r.record_id, r.cluster_id) for r in l13.collect()}
+
+
+def test_sparsify_edges_hub_cap_and_modes(spark):
+    """A hub with 5 neighbors, k=2: mutual keeps only the hub's top-2
+    (degree bound holds); union keeps all 5 (every leaf's own top-1)."""
+    edges = spark.createDataFrame(
+        [(0, i, 1.0 - i / 100) for i in range(1, 6)] + [(1, 2, 0.5)],
+        "src long, dst long, score double",
+    )
+    mut = clustering.sparsify_edges(edges, "score", k=2, mode="mutual")
+    kept = {(r.src, r.dst) for r in mut.collect()}
+    # hub keeps only its two best; (1,2) survives (top-2 of BOTH leaves)
+    assert kept == {(0, 1), (0, 2), (1, 2)}
+    assert sum(1 for a, b in kept if 0 in (a, b)) == 2  # degree bound at k
+    uni = clustering.sparsify_edges(edges, "score", k=2, mode="union")
+    kept_u = {(r.src, r.dst) for r in uni.collect()}
+    assert {(0, i) for i in range(1, 6)} <= kept_u
+    # reversed-duplicate input rows must not double votes
+    both_dirs = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                     "score")
+    )
+    mut2 = clustering.sparsify_edges(both_dirs, "score", k=2, mode="mutual")
+    assert {(r.src, r.dst) for r in mut2.collect()} == kept
+    with pytest.raises(ValueError, match="mode"):
+        clustering.sparsify_edges(edges, "score", k=2, mode="x")
