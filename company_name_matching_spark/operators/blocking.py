@@ -391,9 +391,12 @@ def candidate_pairs_record_level(
     grp = blocks.groupBy("block_key").agg(
         F.sort_array(F.collect_set("record_id")).alias("_ids")
     )
-    return _pair_expand(grp, "_ids", "left_id", "right_id").dropDuplicates(
-        ["left_id", "right_id"]
-    )
+    # pre-fan-out spread (see candidate_pairs): a tiny aggregated block
+    # table serializes the whole expansion + map-side dedup otherwise
+    n_part = int(names.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return _pair_expand(
+        grp.repartition(n_part), "_ids", "left_id", "right_id"
+    ).dropDuplicates(["left_id", "right_id"])
 
 
 def candidate_pairs(
@@ -477,8 +480,14 @@ def candidate_pairs(
     # the expanded pairs; per-row fan-out is cap-bounded, so row-count
     # balance ≈ output balance.
     n_part = int(names.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # grp is ALSO repartitioned pre-expansion: its aggregation output is a
+    # handful of block rows that AQE coalesces to 1-2 partitions, and
+    # explode preserves partitioning — without the spread the key-pair
+    # expansion AND the dedup's map-side partial aggregation run serially
+    # (the post-dedup repartition below only fixed the stages after the
+    # dedup exchange). Shuffles only key rows, never expanded pairs.
     key_pairs = (
-        _pair_expand(grp, "_keys", "_lk", "_rk")
+        _pair_expand(grp.repartition(n_part), "_keys", "_lk", "_rk")
         .dropDuplicates(["_lk", "_rk"])
         .repartition(n_part)
     )
@@ -537,9 +546,17 @@ def pair_block_weights(
     grp = blocks.groupBy("block_key").agg(
         F.sort_array(F.collect_set("record_id")).alias("_ids")
     )
-    return _pair_expand(grp, "_ids", "left_id", "right_id").groupBy(
-        "left_id", "right_id"
-    ).agg(F.count(F.lit(1)).alias("weight"))
+    # pre-fan-out spread (same rationale as candidate_pairs): the aggregated
+    # block table is a handful of rows, AQE coalesces its exchange to 1-2
+    # partitions, and explode PRESERVES partitioning — so the O(Σ|block|²)
+    # pair expansion plus the weight agg's map-side partial aggregation
+    # would run serially. Round-robin here shuffles only the block rows
+    # (bytes ≈ the membership arrays the expansion reads anyway), never the
+    # expanded pairs.
+    n_part = int(blocks.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return _pair_expand(
+        grp.repartition(n_part), "_ids", "left_id", "right_id"
+    ).groupBy("left_id", "right_id").agg(F.count(F.lit(1)).alias("weight"))
 
 
 def metablock_prune(

@@ -275,8 +275,18 @@ def _ppjoin_exact_jaccard(d: DataFrame, threshold: float, tag: str,
             F.col("l.n") - F.col("l._p"), F.col("r.n") - F.col("r._p")
         ) + F.lit(1)
     )
+    # probe-side fan-out spread: the materialized prefix table is small at
+    # bench scale (1-2 parquet splits), the build side broadcasts, and the
+    # join output below is orders of magnitude larger than its probe input —
+    # without this the whole candidate explosion plus the dedup's map-side
+    # partial aggregation runs in 1-2 tasks (measured 14.3 s → 2.6 s on the
+    # identical 18M-row sf0.1 part join). No-op when the scan is already at
+    # least shuffle-width partitions (the at-scale case).
+    from company_name_matching_spark.sources.store import fanout_repartition
+
+    probe = fanout_repartition(prefix)
     cand = (
-        prefix.alias("l")
+        probe.alias("l")
         .join(prefix.alias("r"), ["bk", "tok"])
         .where(
             (F.col("l.id") < F.col("r.id"))
@@ -489,8 +499,14 @@ def minhash_pairs(
     # materialize: the size-agg + keep-join of filter_blocks feeds both
     # sides of the candidate self-join AND the verify-id pruning
     bands = materialize(blocking.filter_blocks(bands, cfg), "mh_bands")
+    # probe-side fan-out spread (same serialization hazard as the PPJoin
+    # candidate join — see _ppjoin_exact_jaccard): the bands table is tiny
+    # after materialization, the build side broadcasts, and the bucket
+    # self-join output would otherwise be produced by 1-2 tasks
+    from company_name_matching_spark.sources.store import fanout_repartition
+
     cand = (
-        bands.alias("l")
+        fanout_repartition(bands).alias("l")
         .join(bands.alias("r"), "block_key")
         .where(F.col("l.record_id") < F.col("r.record_id"))
         .select(

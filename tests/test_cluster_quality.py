@@ -42,14 +42,20 @@ def _pivot_reference(edge_list):
     return labels
 
 
-def _run_pivot(spark, edge_list, max_rounds=12):
+def _run_pivot(spark, edge_list, max_rounds=12, driver_edge_threshold=1_000_000):
     edges = spark.createDataFrame(edge_list, "src long, dst long")
-    labels, rounds = clustering.pivot_clusters(edges, max_rounds=max_rounds)
+    labels, rounds = clustering.pivot_clusters(
+        edges, max_rounds=max_rounds,
+        driver_edge_threshold=driver_edge_threshold,
+    )
     got = {r["record_id"]: r["cluster_id"] for r in labels.collect()}
     return got, rounds
 
 
 def test_pivot_matches_reference_on_random_graphs(spark):
+    """BOTH execution strategies — the size-gated driver replay (default at
+    these sizes) and the distributed round iteration (gate disabled) — must
+    match the executable spec node-for-node, and each other."""
     for seed in (1, 7, 42):
         rng = random.Random(seed)
         n = 60
@@ -57,8 +63,10 @@ def test_pivot_matches_reference_on_random_graphs(spark):
             tuple(sorted(rng.sample(range(n), 2))) for _ in range(120)
         })
         want = _pivot_reference(edge_list)
-        got, _ = _run_pivot(spark, edge_list)
-        assert got == want, f"seed {seed}"
+        got_driver, _ = _run_pivot(spark, edge_list)
+        assert got_driver == want, f"driver path, seed {seed}"
+        got_dist, _ = _run_pivot(spark, edge_list, driver_edge_threshold=0)
+        assert got_dist == want, f"distributed path, seed {seed}"
 
 
 def test_pivot_clusters_are_stars(spark):
@@ -95,6 +103,8 @@ def test_pivot_raises_when_not_drained(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
     with pytest.raises(Exception, match="not drained"):
         clustering.pivot_clusters(edges, max_rounds=0)
+    with pytest.raises(Exception, match="not drained"):
+        clustering.pivot_clusters(edges, max_rounds=0, driver_edge_threshold=0)
 
 
 def test_golden_records_survivorship_rules(spark):
