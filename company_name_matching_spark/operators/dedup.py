@@ -100,6 +100,7 @@ def _finish_exact_jaccard(paired: DataFrame, threshold: float) -> DataFrame:
 def _verify_exact_jaccard(
     cand: DataFrame, feats: DataFrame, threshold: float,
     presize_prune: bool = False,
+    dedup_after: bool = False,
 ) -> DataFrame:
     """Join per-doc feature arrays onto a candidate-pair list and verify
     with :func:`_finish_exact_jaccard`. ``feats`` is (id, tids, n) — int
@@ -112,7 +113,21 @@ def _verify_exact_jaccard(
     candidates never saw a ratio filter, this cuts the dominant
     array-shuffle volume (37% of sf0.1 MinHash candidates fail the ratio
     check). Prefix-filtered generators already ratio-prune inside the
-    candidate join, where the extra pass would be pure overhead."""
+    candidate join, where the extra pass would be pure overhead.
+
+    ``dedup_after=True`` moves the pair dedup AFTER verification: ``cand``
+    may then contain duplicate (left_id, right_id) rows (one per shared
+    surviving prefix item). The verify computation is a pure function of
+    the pair, so duplicates verify identically and a post-verify
+    ``dropDuplicates`` yields the exact same pair set as deduping first —
+    but the pre-verify exchange of the full candidate fan-out disappears,
+    and the dedup shuffle runs on verified survivors only (measured sf0.1
+    fuzzy parts: 18.0M candidates contract to 3.1M verified rows; the
+    18M-row dedup exchange was pure overhead since the prefix length is 1
+    and duplicates were impossible). The trade is bounded re-verification:
+    a pair is re-verified once per shared surviving prefix item, a factor
+    ≤ prefix length concentrated on true near-duplicates, which are the
+    scarce class in a dedup workload."""
     if presize_prune:
         sz = feats.select("id", "n")
         cand = (
@@ -144,7 +159,10 @@ def _verify_exact_jaccard(
         ),
         "right_id",
     )
-    return _finish_exact_jaccard(paired, threshold)
+    out = _finish_exact_jaccard(paired, threshold)
+    if dedup_after:
+        out = out.dropDuplicates(["left_id", "right_id"])
+    return out
 
 
 def jaccard_pairs(
@@ -180,7 +198,8 @@ def jaccard_pairs(
 
 
 def _ppjoin_exact_jaccard(d: DataFrame, threshold: float, tag: str,
-                          prefix_order: str = "df") -> DataFrame:
+                          prefix_order: str = "df",
+                          verify_then_dedup: bool | None = None) -> DataFrame:
     """Exact set-Jaccard self-join via prefix filtering over integer item
     arrays — the shared core of the PPJoin channels.
 
@@ -220,6 +239,15 @@ def _ppjoin_exact_jaccard(d: DataFrame, threshold: float, tag: str,
 
     if prefix_order not in ("df", "value"):
         raise ValueError(f"unknown prefix_order {prefix_order!r}")
+    if verify_then_dedup is None:
+        # at high thresholds the prefix is 1-2 items, duplicates are
+        # rare-to-impossible, and the pre-verify dedup exchange of the full
+        # candidate fan-out is pure overhead (measured sf0.1 fuzzy parts:
+        # 18M candidate rows, ZERO duplicates). At low thresholds the
+        # prefix approaches n(1-t)+1 items and the re-verification factor
+        # on true near-duplicate pairs grows, so dedup-first wins (measured
+        # on the winnow t=0.5 channel).
+        verify_then_dedup = threshold >= 0.7
     d = materialize(
         d.select("id", "bk", "items", F.size("items").alias("n")),
         f"{tag}_items",
@@ -300,8 +328,15 @@ def _ppjoin_exact_jaccard(d: DataFrame, threshold: float, tag: str,
             & (upper >= alpha)
         )
         .select(F.col("l.id").alias("left_id"), F.col("r.id").alias("right_id"))
-        .dropDuplicates(["left_id", "right_id"])
     )
+    # verify_then_dedup: the candidate fan-out (one row per shared
+    # surviving prefix item) flows straight into the verify joins and the
+    # dedup runs on verified survivors instead — the pre-verify exchange
+    # shuffled the FULL fan-out (18M rows for 3.1M survivors on the sf0.1
+    # fuzzy-parts workload) for a dedup that high thresholds make a
+    # near-no-op (prefix length 1-2 → duplicates rare-to-impossible).
+    if not verify_then_dedup:
+        cand = cand.dropDuplicates(["left_id", "right_id"])
     # verify features built ONLY for docs that can appear in a candidate
     # pair (VERDICT r3 #1): on a long-tail corpus most docs share no prefix
     # item with anything in their block, so an unpruned feature scan grows
@@ -327,7 +362,9 @@ def _ppjoin_exact_jaccard(d: DataFrame, threshold: float, tag: str,
         .select("id", F.col("items").alias("tids"), "n"),
         f"{tag}_tids",
     )
-    return _verify_exact_jaccard(cand, ids, threshold)
+    return _verify_exact_jaccard(
+        cand, ids, threshold, dedup_after=verify_then_dedup
+    )
 
 
 def jaccard_pairs_prefix(

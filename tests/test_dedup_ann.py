@@ -391,6 +391,53 @@ def test_ppjoin_randomized_equivalence_across_thresholds(spark):
         assert naive, t  # the planted siblings guarantee non-vacuity
 
 
+def test_ppjoin_dedup_order_equivalence(spark):
+    """The r6 verify-then-dedup reordering is output-invariant: forcing
+    either dedup order through the PPJoin core yields the identical pair
+    set (verification is a pure function of the pair, so deduping the
+    candidate fan-out before or after verify cannot change survivors)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from company_name_matching_spark.functions import textstats
+    from company_name_matching_spark.operators.dedup import _ppjoin_exact_jaccard
+
+    rng = random.Random(20260822)
+    vocab = [f"w{i}" for i in range(15)]
+    rows = []
+    for i in range(70):
+        toks = rng.sample(vocab, rng.randint(1, 8))
+        rows.append((i, " ".join(toks)))
+        if rng.random() < 0.4:
+            sib = list(toks)
+            (sib.pop() if len(sib) > 1 and rng.random() < 0.5
+             else sib.append(rng.choice(vocab)))
+            rows.append((1000 + i, " ".join(dict.fromkeys(sib))))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    toks = F.array_distinct(textstats.tokens_col(F.lower(F.col("text"))))
+    d = docs.select(
+        F.col("doc_id").alias("id"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("items"),
+        F.lit("all").alias("bk"),
+    )
+    for t in (0.5, 0.8):
+        first = {
+            (r["left_id"], r["right_id"]): r["jaccard"]
+            for r in _ppjoin_exact_jaccard(
+                d, t, "ordtest_a", verify_then_dedup=False
+            ).collect()
+        }
+        after = {
+            (r["left_id"], r["right_id"]): r["jaccard"]
+            for r in _ppjoin_exact_jaccard(
+                d, t, "ordtest_b", verify_then_dedup=True
+            ).collect()
+        }
+        assert first == after, (t, len(first), len(after))
+        assert first, t
+
+
 def test_winnow_containment_detects_embedded_passage(spark):
     """winnow_containment_pairs: a short doc embedded verbatim inside a
     long page scores containment ≈ 1 (detected) even though symmetric
