@@ -110,7 +110,17 @@ def connected_components(
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).dropDuplicates()
     e = materialize(e, "cc_edges")
     if driver_edge_threshold and e.count() <= driver_edge_threshold:
+        schema_empty = (
+            e.select(
+                F.col("src").alias("record_id"), F.col("src").alias("cluster_id")
+            ).schema
+        )
         pdf = e.toPandas()
+        if pdf.empty:
+            # no edges → no labeled components; skip the union-find and the
+            # local-list parallelize entirely (callers coalesce missing
+            # labels to self-labels)
+            return edges.sparkSession.createDataFrame([], schema_empty), 0
         # numpy scalars → python scalars (createDataFrame rejects np types)
         src = (v.item() if hasattr(v, "item") else v for v in pdf["src"])
         dst = (v.item() if hasattr(v, "item") else v for v in pdf["dst"])
@@ -175,8 +185,19 @@ def cluster_matches(matches: DataFrame, names: DataFrame,
     record_id of the full component (min is preserved: every group rep IS
     its group's min, and CC labels components by min rep)."""
     groups = names.groupBy("match_key").agg(F.min("record_id").alias("rep"))
-    rep_of = names.select("record_id", "match_key").join(groups, "match_key").select(
-        "record_id", "rep"
+    # LEFT join + self-coalesce so rep_of covers EVERY record (a NULL
+    # match_key never equi-joins; such a record becomes its own rep). With
+    # full coverage the final expansion already labels every record and the
+    # old trailing attach_singletons pass — a left_anti join + union over
+    # the full record set — is provably empty, so it is gone (r6: two fewer
+    # jobs per cluster call at any scale).
+    rep_of = (
+        names.select("record_id", "match_key")
+        .join(groups, "match_key", "left")
+        .select(
+            "record_id",
+            F.coalesce(F.col("rep"), F.col("record_id")).alias("rep"),
+        )
     )
     from company_name_matching_spark.sources.store import materialize
 
@@ -195,7 +216,8 @@ def cluster_matches(matches: DataFrame, names: DataFrame,
         rep_edges, max_iterations, driver_edge_threshold
     )
     # expand: record → its rep's component label (reps without fuzzy edges
-    # label themselves, covering pure-exact groups)
+    # label themselves, covering pure-exact groups AND singletons — rep_of
+    # covers every record, so no separate singleton pass is needed)
     expanded = (
         rep_of.join(
             rep_labels.withColumnRenamed("record_id", "rep"), "rep", "left"
@@ -205,7 +227,7 @@ def cluster_matches(matches: DataFrame, names: DataFrame,
             F.coalesce(F.col("cluster_id"), F.col("rep")).alias("cluster_id"),
         )
     )
-    return attach_singletons(expanded, names), rounds
+    return expanded, rounds
 
 
 def _driver_pivot_rounds(pairs, max_rounds: int) -> tuple[dict, int]:
