@@ -455,23 +455,18 @@ def score_pairs(
     )
     l_light = light.select([F.col(c).alias(f"l_{c}") for c in _LIGHT_COLS])
     r_light = light.select([F.col(c).alias(f"r_{c}") for c in _LIGHT_COLS])
+    # base stays LAZY (r6): it is consumed twice — once by the distinct-key
+    # dedup below (narrow: two 8-byte ids) and once by the final assembly —
+    # and re-deriving it costs one extra broadcast-join pass over the pair
+    # list, strictly cheaper than the old write+read parquet barrier of the
+    # full pair base (the in-memory cache alternative anti-scales, see
+    # sources/store).
     base = (
         pairs.join(l_light, pairs.left_id == l_light.l_record_id)
         .join(r_light, pairs.right_id == r_light.r_record_id)
         .drop("l_record_id", "r_record_id")
     )
-    # base feeds the exact and fuzzy branches — materialize the narrow join
-    # result (parquet scratch; in-memory cache anti-scales, see sources/store)
     from company_name_matching_spark.sources.store import materialize
-
-    base = materialize(base, "pair_base")
-
-    exact = base.where(F.col("l_key_id") == F.col("r_key_id")).select(
-        "left_id", "right_id",
-        F.lit(1.0).alias("jaccard"), F.lit(1.0).alias("lev_sim"),
-        F.lit(1.0).alias("cos_sim"), F.lit(1.0).alias("jw_sim"),
-        F.lit(1.0).alias("score"), F.lit(True).alias("is_match"),
-    )
 
     fuzzy = base.where(F.col("l_key_id") != F.col("r_key_id"))
 
@@ -556,7 +551,18 @@ def score_pairs(
             F.lit(0.0).alias("cos_sim"), F.lit(0.0).alias("jw_sim"),
         )
 
-    df = fuzzy.join(k, ["l_key_id", "r_key_id"])
+    # single-pass assembly (r6): LEFT-join the per-key-pair kernel table to
+    # the FULL pair base and decide exact vs fuzzy per row with a CASE —
+    # replaces the former exact-branch/fuzzy-branch union, which needed the
+    # pair base twice (hence the removed barrier above). Exact pairs
+    # (l_key_id == r_key_id) never appear in ``k`` (built from the fuzzy
+    # key-pair domain), so their kernel columns come back NULL and the CASE
+    # emits the same literal-1.0 row the old exact branch produced;
+    # record-level rules (repeat penalty, entity conflict) apply to fuzzy
+    # rows exactly as before. Values are bit-identical, only row order
+    # changes (the old union ordered exact rows first).
+    df = base.join(k, ["l_key_id", "r_key_id"], "left")
+    is_exact = F.col("l_key_id") == F.col("r_key_id")
 
     fused = (
         F.lit(cfg.w_cosine) * F.col("cos_sim")
@@ -574,11 +580,15 @@ def score_pairs(
         & F.col("r_entity_type").isNotNull()
         & (F.col("l_entity_type") != F.col("r_entity_type"))
     )
-    df = df.withColumn("score", fused)
+    for c in ("jaccard", "lev_sim", "cos_sim", "jw_sim"):
+        df = df.withColumn(c, F.when(is_exact, F.lit(1.0)).otherwise(F.col(c)))
+    df = df.withColumn(
+        "score", F.when(is_exact, F.lit(1.0)).otherwise(fused)
+    )
     df = df.withColumn(
         "is_match",
-        F.when(entity_conflict, F.lit(False)).otherwise(
-            F.col("score") >= F.lit(cfg.threshold)
-        ),
+        F.when(is_exact, F.lit(True))
+        .when(entity_conflict, F.lit(False))
+        .otherwise(F.col("score") >= F.lit(cfg.threshold)),
     )
-    return exact.select(*_OUT_COLS).unionByName(df.select(*_OUT_COLS))
+    return df.select(*_OUT_COLS)
