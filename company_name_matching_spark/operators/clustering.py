@@ -648,9 +648,16 @@ def pivot_matches(
     from company_name_matching_spark.sources.store import materialize
 
     groups = names.groupBy("match_key").agg(F.min("record_id").alias("rep"))
+    # LEFT join + self-coalesce: rep_of covers EVERY record (see
+    # cluster_matches), so the expansion below labels the full record set
+    # and no trailing singleton pass is needed.
     rep_of = materialize(
-        names.select("record_id", "match_key").join(groups, "match_key")
-        .select("record_id", "rep"),
+        names.select("record_id", "match_key")
+        .join(groups, "match_key", "left")
+        .select(
+            "record_id",
+            F.coalesce(F.col("rep"), F.col("record_id")).alias("rep"),
+        ),
         "pivot_repmap",
     )
     edges = matches.where(F.col("is_match")).select(
@@ -673,7 +680,7 @@ def pivot_matches(
             F.coalesce(F.col("cluster_id"), F.col("rep")).alias("cluster_id"),
         )
     )
-    return attach_singletons(expanded, names), rounds
+    return expanded, rounds
 
 
 def bcubed(
