@@ -129,15 +129,25 @@ def _with_norm(df: DataFrame, text_col: str, kernel: str) -> DataFrame:
     from company_name_matching_spark.functions import vnnorm_jvm
 
     col = F.col(text_col)
+    # asNondeterministic (guide §4.4): downstream filters on UDF-derived
+    # columns (``match_key != ""``, entry-level predicates) get pushed below
+    # the projection by DUPLICATING the UDF — the normalize plan carried
+    # FOUR ArrowEvalPython nodes for this one call, i.e. the 53-rule kernel
+    # (the pipeline's hottest per-row cost) ran 4x per row. Marking it
+    # non-deterministic forbids the optimizer from cloning or reordering it;
+    # the kernel is a pure function of the text, so results are unchanged —
+    # only the duplication disappears (plan now shows exactly one
+    # ArrowEvalPython; differential tests unchanged).
+    norm_udf = _normalize_udf.asNondeterministic()
     if kernel == "pandas":
-        return df.withColumn("_norm", _normalize_udf(col))
+        return df.withColumn("_norm", norm_udf(col))
     if kernel == "jvm":
         return df.withColumn("_norm", vnnorm_jvm.normalized_struct(col))
     safe = vnnorm_jvm.is_jvm_safe(col)
     jvm = df.where(safe).withColumn(
         "_norm", vnnorm_jvm.normalized_struct(col)
     )
-    arrow = df.where(~safe).withColumn("_norm", _normalize_udf(col))
+    arrow = df.where(~safe).withColumn("_norm", norm_udf(col))
     return jvm.unionByName(arrow)
 
 
