@@ -62,6 +62,31 @@ def _dec_sum(col, scale: int = 2):
     return F.sum(F.col(col).cast(f"decimal(30,{scale})")).cast("double")
 
 
+def _norm_part_names(spark, sf_dir):
+    """Normalized part-name mentions behind a parquet barrier — ONE shared
+    copy of the snippet eight entries repeated inline. The barrier matters
+    (r6): these entries reference ``names`` from several join branches
+    (features per pair side, pred+gold, id maps), and every branch
+    re-evaluated the whole ArrowEvalPython normalize subtree — the
+    er_vmeasure plan carried ELEVEN copies of the kernel. Materializing
+    runs the kernel once; the small parquet read replaces every re-eval.
+    The input is spread to the cluster width first so the kernel is not
+    serialized by the single-split part scan."""
+    from company_name_matching_spark.operators import normalize
+    from company_name_matching_spark.sources.store import materialize
+
+    p = _t(spark, sf_dir, "part")
+    p = p.repartition(spark.sparkContext.defaultParallelism)
+    return materialize(
+        normalize.normalize_mentions(
+            p.select(F.col("p_partkey").cast("string").alias("pid"),
+                     F.col("p_name").alias("nm")),
+            "pid", "nm",
+        ),
+        "part_names",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational operator coverage (SURVEY.md §2.2/2.5/2.6/2.7/2.8)
 # ---------------------------------------------------------------------------
@@ -384,8 +409,20 @@ def dup_group_names(spark, sf_dir):
         group_original_names,
     )
 
-    p = _t(spark, sf_dir, "part").select(
-        clean_name_udf("p_name").alias("norm_key"), F.col("p_name").alias("name")
+    from company_name_matching_spark.sources.store import materialize
+
+    # barrier (r6): the salted two-phase grouping and the size agg
+    # reference this frame from four branches, and each re-evaluated the
+    # clean_name ArrowEvalPython subtree (plan showed 4 copies) — run the
+    # kernel once and let every branch read the parquet scratch instead
+    p = materialize(
+        _t(spark, sf_dir, "part")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            clean_name_udf("p_name").alias("norm_key"),
+            F.col("p_name").alias("name"),
+        ),
+        "dupgroup_names",
     )
     grouped = group_original_names(p, cap=100)
     sizes = p.groupBy("norm_key").agg(F.count(F.lit(1)).alias("group_size"))
@@ -1408,18 +1445,7 @@ def _fuzzy_parts_withpk(spark, sf_dir):
         scoring,
     )
 
-    p = _t(spark, sf_dir, "part")
-    # small parquet arrives as one split; spread the normalize UDF and the
-    # downstream prefix-join stages across the cluster
-    p = p.repartition(spark.sparkContext.defaultParallelism)
-    names = normalize.normalize_mentions(
-        p.select(
-            F.col("p_partkey").cast("string").alias("pid"),
-            F.col("p_name").alias("nm"),
-        ),
-        "pid",
-        "nm",
-    )
+    names = _norm_part_names(spark, sf_dir)
     cand = dedup.jaccard_pairs_prefix(
         names.select(
             F.col("record_id").alias("doc_id"), F.col("match_key").alias("text")
@@ -1570,12 +1596,7 @@ def er_cluster_exact_parts(spark, sf_dir):
     (lost edges, wrong convergence, bad center election) turns this red."""
     from company_name_matching_spark.operators import clustering, normalize
 
-    p = _t(spark, sf_dir, "part")
-    names = normalize.normalize_mentions(
-        p.select(F.col("p_partkey").cast("string").alias("pid"),
-                 F.col("p_name").alias("text")),
-        "pid", "text",
-    )
+    names = _norm_part_names(spark, sf_dir)
     # exact edges: records sharing a match_key (star to the group min —
     # linear edge count, same component structure as all-pairs)
     grp_min = names.groupBy("match_key").agg(F.min("record_id").alias("dst"))
@@ -1700,12 +1721,7 @@ def _fs_blocked_pair_levels(spark, sf_dir):
     agreement-level columns (problink.comparison_levels)."""
     from company_name_matching_spark.operators import blocking, normalize, problink
 
-    p = _t(spark, sf_dir, "part")
-    names = normalize.normalize_mentions(
-        p.select(F.col("p_partkey").cast("string").alias("pid"),
-                 F.col("p_name").alias("nm")),
-        "pid", "nm",
-    )
+    names = _norm_part_names(spark, sf_dir)
     cfg = blocking.BlockingConfig(
         channels=("prefix",), prefix_tokens=1, max_block_size=10**6
     )
@@ -1761,12 +1777,7 @@ def parts_monge_elkan(spark, sf_dir):
     bit-identical to the DuckDB twin (see scoring.monge_elkan_col)."""
     from company_name_matching_spark.operators import blocking, normalize, scoring
 
-    p = _t(spark, sf_dir, "part")
-    names = normalize.normalize_mentions(
-        p.select(F.col("p_partkey").cast("string").alias("pid"),
-                 F.col("p_name").alias("nm")),
-        "pid", "nm",
-    )
+    names = _norm_part_names(spark, sf_dir)
     cfg = blocking.BlockingConfig(
         channels=("prefix",), prefix_tokens=1, max_block_size=10**6
     )
@@ -1805,12 +1816,7 @@ def parts_soft_tfidf(spark, sf_dir):
     nano-unit alignment contribution."""
     from company_name_matching_spark.operators import blocking, normalize, scoring
 
-    p = _t(spark, sf_dir, "part")
-    names = normalize.normalize_mentions(
-        p.select(F.col("p_partkey").cast("string").alias("pid"),
-                 F.col("p_name").alias("nm")),
-        "pid", "nm",
-    )
+    names = _norm_part_names(spark, sf_dir)
     cfg = blocking.BlockingConfig(
         channels=("prefix",), prefix_tokens=1, max_block_size=10**6
     )
@@ -1840,12 +1846,7 @@ def parts_weighted_jaccard(spark, sf_dir):
     division at the end, replayed op-for-op by the twin)."""
     from company_name_matching_spark.operators import blocking, normalize, scoring
 
-    p = _t(spark, sf_dir, "part")
-    names = normalize.normalize_mentions(
-        p.select(F.col("p_partkey").cast("string").alias("pid"),
-                 F.col("p_name").alias("nm")),
-        "pid", "nm",
-    )
+    names = _norm_part_names(spark, sf_dir)
     cfg = blocking.BlockingConfig(
         channels=("prefix",), prefix_tokens=1, max_block_size=10**6
     )
@@ -1875,12 +1876,7 @@ def fs_u_probs_parts(spark, sf_dir):
     The oracle replays the exact modulo pairing with generate_series."""
     from company_name_matching_spark.operators import normalize, problink
 
-    p = _t(spark, sf_dir, "part")
-    names = normalize.normalize_mentions(
-        p.select(F.col("p_partkey").cast("string").alias("pid"),
-                 F.col("p_name").alias("nm")),
-        "pid", "nm",
-    )
+    names = _norm_part_names(spark, sf_dir)
     df = names.select(
         F.col("source_id").cast("long").alias("pk"), "match_key", "tokens"
     )
@@ -1910,12 +1906,8 @@ def _parts_pred_gold(spark, sf_dir):
     clusters = exact match-key groups, gold partition = p_brand."""
     from company_name_matching_spark.operators import normalize
 
+    names = _norm_part_names(spark, sf_dir)
     p = _t(spark, sf_dir, "part")
-    names = normalize.normalize_mentions(
-        p.select(F.col("p_partkey").cast("string").alias("pid"),
-                 F.col("p_name").alias("nm")),
-        "pid", "nm",
-    )
     return names.select(
         "record_id", F.col("match_key").alias("pred"),
         F.col("source_id").cast("long").alias("pk"),
@@ -1973,12 +1965,7 @@ def _parts_two_channel_blocks(spark, sf_dir):
     of the space-stripped match key). Returns (names, blocks)."""
     from company_name_matching_spark.operators import normalize
 
-    p = _t(spark, sf_dir, "part")
-    names = normalize.normalize_mentions(
-        p.select(F.col("p_partkey").cast("string").alias("pid"),
-                 F.col("p_name").alias("nm")),
-        "pid", "nm",
-    )
+    names = _norm_part_names(spark, sf_dir)
     blocks = names.select(
         "record_id",
         F.explode(
@@ -2030,12 +2017,7 @@ def parts_sorted_neighborhood(spark, sf_dir):
     in global_rank turns this red."""
     from company_name_matching_spark.operators import blocking, normalize
 
-    p = _t(spark, sf_dir, "part")
-    names = normalize.normalize_mentions(
-        p.select(F.col("p_partkey").cast("string").alias("pid"),
-                 F.col("p_name").alias("nm")),
-        "pid", "nm",
-    )
+    names = _norm_part_names(spark, sf_dir)
     keyed = names.select(
         "record_id",
         F.concat_ws("", F.sort_array("tokens")).alias("snb_key"),
