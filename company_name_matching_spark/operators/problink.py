@@ -174,6 +174,14 @@ def fs_score_pairs(
     )
 
 
+# estimate_u auto-sampling bounds: above the threshold an unsampled call
+# would funnel the whole corpus through one single-partition row_number
+# window; the derived fraction targets ~AUTO_SAMPLE_TARGET records, where
+# u (a rate over n·k shifted pairs) is already converged at O(1/√pairs).
+AUTO_SAMPLE_THRESHOLD = 1_000_000
+AUTO_SAMPLE_TARGET = 1_000_000.0
+
+
 def estimate_u(
     names: DataFrame,
     k: int = 3,
@@ -189,20 +197,33 @@ def estimate_u(
     rate — the u table, since a vanishing fraction of shifted pairs are
     true matches. Output: (field, level, u, n_pairs), u = round(cnt/N, 6).
 
-    The global ``row_number`` is a single-partition window — fine on the
-    bounded frame this must be given at scale: pass ``sample_fraction``
-    to hash-sample (deterministic xxhash64 threshold, no RNG state)
-    before ordering, the standard bounded-sample u protocol.
+    The global ``row_number`` is a single-partition window — fine on a
+    bounded frame. ``sample_fraction`` hash-samples (deterministic
+    xxhash64 threshold, no RNG state) before ordering, the standard
+    bounded-sample u protocol. **Scale-safe default (r6)**: when
+    ``sample_fraction`` is None and the input exceeds
+    ``AUTO_SAMPLE_THRESHOLD`` rows, a fraction targeting
+    ``AUTO_SAMPLE_TARGET`` sampled records is derived automatically —
+    u converges at O(1/sqrt(pairs)), so ~10⁶ samples estimate it to
+    ~3 decimal places and an unsampled 10⁹-row corpus would otherwise
+    funnel through ONE window task. Inputs at or below the threshold are
+    bit-for-bit unchanged (no sampling).
     """
     if k < 1:
         raise ValueError(f"k must be ≥ 1, got {k}")
     df = names.select(
         F.col(order_col).alias("_ord"), "match_key", "tokens"
     )
+    if sample_fraction is None:
+        n_in = df.count()
+        if n_in > AUTO_SAMPLE_THRESHOLD:
+            sample_fraction = AUTO_SAMPLE_TARGET / n_in
     if sample_fraction is not None:
         if not (0.0 < sample_fraction <= 1.0):
             raise ValueError(f"sample_fraction must be in (0,1], got {sample_fraction}")
-        bound = int(sample_fraction * (2**63 - 1))
+        # clamp: float(2^63-1) rounds UP to 2^63, which overflows a long
+        # literal at sample_fraction == 1.0
+        bound = min(int(sample_fraction * (2**63 - 1)), 2**63 - 1)
         df = df.where(
             F.abs(F.xxhash64(F.col("_ord").cast("string"), F.lit(seed)))
             <= F.lit(bound)

@@ -96,6 +96,42 @@ class TestFellegiSunter:
         }
         assert per_field == {f: 30 for f in problink.FIELDS}
 
+    def test_estimate_u_auto_sample_boundary(self, spark, monkeypatch):
+        """r6 scale-safe default: at or below AUTO_SAMPLE_THRESHOLD the
+        output is bit-identical to the unsampled computation; above it a
+        fraction targeting AUTO_SAMPLE_TARGET records kicks in (asserted
+        via the shrunken pair total). Threshold is monkeypatched down so
+        the boundary is exercised on a 40-row frame."""
+        names = spark.createDataFrame(
+            [(i, f"name {i} co", ["name", str(i), "co"]) for i in range(40)],
+            "source_id long, match_key string, tokens array<string>",
+        )
+        baseline = sorted(
+            (r["field"], r["level"], r["u"], r["n_pairs"])
+            for r in problink.estimate_u(names, k=2).collect()
+        )
+        # at the threshold: no sampling, identical output
+        monkeypatch.setattr(problink, "AUTO_SAMPLE_THRESHOLD", 40)
+        at = sorted(
+            (r["field"], r["level"], r["u"], r["n_pairs"])
+            for r in problink.estimate_u(names, k=2).collect()
+        )
+        assert at == baseline
+        # above the threshold: auto-derived fraction samples ~target rows
+        monkeypatch.setattr(problink, "AUTO_SAMPLE_THRESHOLD", 39)
+        monkeypatch.setattr(problink, "AUTO_SAMPLE_TARGET", 20.0)
+        sampled = problink.estimate_u(names, k=2)
+        total = sampled.where(F.col("field") == "key_exact").agg(
+            F.sum("n_pairs")
+        ).collect()[0][0]
+        assert total < 40 * 2  # fewer pairs than unsampled n*k
+        # explicit fraction still wins over the auto path
+        explicit = problink.estimate_u(names, k=2, sample_fraction=1.0)
+        assert sorted(
+            (r["field"], r["level"], r["u"], r["n_pairs"])
+            for r in explicit.collect()
+        ) == baseline
+
     def test_estimate_u_validation(self, spark):
         names = spark.createDataFrame(
             [(1, "a", ["a"])],
