@@ -2062,6 +2062,46 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # Order = driver-verification rotation (COVERAGE.md): the driver checks
+        # the first 50 entries each round, so never-verified entries lead and
+        # previously-verified ones follow stalest-first (ties keep prior order).
+        "er_cluster_pivot_docs": er_cluster_pivot_docs,
+        "er_cc_objective_docs": er_cc_objective_docs,
+        "docs_sparsify_edges": docs_sparsify_edges,
+        "er_cluster_stats_docs": er_cluster_stats_docs,
+        "er_golden_records_parts": er_golden_records_parts,
+        "fs_match_parts": fs_match_parts,
+        "parts_monge_elkan": parts_monge_elkan,
+        "parts_soft_tfidf": parts_soft_tfidf,
+        "parts_weighted_jaccard": parts_weighted_jaccard,
+        "fs_u_probs_parts": fs_u_probs_parts,
+        "fs_em_mu_parts": fs_em_mu_parts,
+        "er_bcubed_parts": er_bcubed_parts,
+        "er_ari_parts": er_ari_parts,
+        "er_vmeasure_parts": er_vmeasure_parts,
+        "parts_metablocking": parts_metablocking,
+        "blocking_quality_parts": blocking_quality_parts,
+        "parts_sorted_neighborhood": parts_sorted_neighborhood,
+        # -- last driver-verified r4 --
+        "ann_topk": ann_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "multimodal_meta": multimodal_meta,
+        "multimodal_features": multimodal_features,
+        "multimodal_resize": multimodal_resize,
+        "rrf_part_ranking": rrf_part_ranking,
+        "top3_parts_per_brand": top3_parts_per_brand,
+        "tfidf_rerank_parts": tfidf_rerank_parts,
+        "union_rerank_parts": union_rerank_parts,
+        "match_confidence_tiers": match_confidence_tiers,
+        "search_parts_self": search_parts_self,
+        "search_parts_hybrid": search_parts_hybrid,
+        "er_f1_labeled": er_f1_labeled,
+        "er_cluster_fuzzy_parts": er_cluster_fuzzy_parts,
+        "er_cluster_exact_parts": er_cluster_exact_parts,
+        "er_cluster_jaccard_docs": er_cluster_jaccard_docs,
+        "er_invariants_parts": er_invariants_parts,
+        # -- last driver-verified r5 --
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "q5_region_revenue": q5_region_revenue,
@@ -2112,41 +2152,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_neardup": docs_minhash_neardup,
         "docs_simhash_neardup": docs_simhash_neardup,
         "emb_neardup": emb_neardup,
-        "ann_topk": ann_topk,
-        "ann_lsh_topk": ann_lsh_topk,
-        "ann_ivf_topk": ann_ivf_topk,
-        "multimodal_meta": multimodal_meta,
-        "multimodal_features": multimodal_features,
-        "multimodal_resize": multimodal_resize,
-        "rrf_part_ranking": rrf_part_ranking,
-        "top3_parts_per_brand": top3_parts_per_brand,
-        "tfidf_rerank_parts": tfidf_rerank_parts,
-        "union_rerank_parts": union_rerank_parts,
-        "match_confidence_tiers": match_confidence_tiers,
-        "search_parts_self": search_parts_self,
-        "search_parts_hybrid": search_parts_hybrid,
-        "er_f1_labeled": er_f1_labeled,
-        "er_cluster_fuzzy_parts": er_cluster_fuzzy_parts,
-        "er_cluster_exact_parts": er_cluster_exact_parts,
-        "er_cluster_jaccard_docs": er_cluster_jaccard_docs,
-        "er_cluster_pivot_docs": er_cluster_pivot_docs,
-        "er_cc_objective_docs": er_cc_objective_docs,
-        "docs_sparsify_edges": docs_sparsify_edges,
-        "er_cluster_stats_docs": er_cluster_stats_docs,
-        "er_golden_records_parts": er_golden_records_parts,
-        "er_invariants_parts": er_invariants_parts,
-        "fs_match_parts": fs_match_parts,
-        "parts_monge_elkan": parts_monge_elkan,
-        "parts_soft_tfidf": parts_soft_tfidf,
-        "parts_weighted_jaccard": parts_weighted_jaccard,
-        "fs_u_probs_parts": fs_u_probs_parts,
-        "fs_em_mu_parts": fs_em_mu_parts,
-        "er_bcubed_parts": er_bcubed_parts,
-        "er_ari_parts": er_ari_parts,
-        "er_vmeasure_parts": er_vmeasure_parts,
-        "parts_metablocking": parts_metablocking,
-        "blocking_quality_parts": blocking_quality_parts,
-        "parts_sorted_neighborhood": parts_sorted_neighborhood,
     }
 
 
